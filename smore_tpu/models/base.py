@@ -1,0 +1,187 @@
+"""Shared model scaffolding: embedding tables + the jitted training driver.
+
+The reference's canonical model protocol is
+``LoadEdgeList -> Init -> Train -> SaveWeights`` (every src/model/*.cpp and
+cmd/*/main.go). Here:
+
+  - ``Init`` builds device-resident embedding tables
+    (vertex ~ U(-0.5, 0.5)/dim, context = 0, matching e.g.
+    /root/reference/src/model/LINE.cpp Init) and the SamplerTables.
+  - ``Train`` replaces the reference's per-thread hogwild while-loop
+    (LINE.cpp:162-193) with: one jitted function that runs
+    ``steps_per_call`` scan iterations, each drawing a fixed-shape batch
+    on-device and applying a fused update; the Python loop just re-invokes
+    it with donated buffers until the sample budget is spent.
+  - Linear alpha decay to alpha_min = alpha * 1e-4 is computed per-step
+    from the global sample counter (LINE.cpp:176-187 semantics).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smore_tpu.graph.graph import Graph
+from smore_tpu.io.embeddings import save_embeddings, warm_start
+from smore_tpu.sampling.tables import SamplerTables
+
+# state is a dict name -> (rows, dim) table
+State = Dict[str, jnp.ndarray]
+# step_fn(state, ctx, key, alpha) -> (state, loss); must be jit/scan-safe.
+# ``ctx`` is an arbitrary pytree of device arrays the step reads but does
+# not update (sampler tables, walk buffers). It MUST be passed as an
+# argument -- closing over device arrays bakes them into the executable as
+# constants, which explodes compile time and duplicates HBM.
+StepFn = Callable[
+    [State, object, jax.Array, jnp.ndarray], Tuple[State, jnp.ndarray]
+]
+
+ALPHA_MIN_FRAC = 1e-4  # reference: alpha_min = alpha * 0.0001
+
+
+def init_embedding(
+    key: jax.Array, rows: int, dim: int, scale: Optional[float] = None
+) -> jnp.ndarray:
+    """Reference init: uniform(-0.5, 0.5)/dim (e.g. LINE.cpp Init)."""
+    if scale is None:
+        scale = 1.0 / dim
+    return (jax.random.uniform(key, (rows, dim), dtype=jnp.float32) - 0.5) * scale
+
+
+def zeros_embedding(rows: int, dim: int) -> jnp.ndarray:
+    return jnp.zeros((rows, dim), dtype=jnp.float32)
+
+
+class TrainDriver:
+    """Runs a StepFn for a total number of samples with linear alpha decay.
+
+    samples_per_step: how many logical edge samples one step consumes
+    (= batch size for pair models; batch * pairs for walk models), used
+    for the alpha schedule and throughput reporting.
+    """
+
+    def __init__(
+        self,
+        step_fn: StepFn,
+        ctx,
+        samples_per_step: int,
+        alpha: float,
+        total_samples: int,
+        steps_per_call: int = 256,
+        monitor: bool = True,
+    ):
+        self.step_fn = step_fn
+        self.ctx = ctx
+        self.samples_per_step = samples_per_step
+        self.alpha = float(alpha)
+        self.total_samples = int(total_samples)
+        self.steps_per_call = int(steps_per_call)
+        self.monitor = monitor
+
+    def _make_call(self):
+        step_fn = self.step_fn
+        S = self.steps_per_call
+        alpha0 = self.alpha
+        alpha_min = alpha0 * ALPHA_MIN_FRAC
+        total = float(max(self.total_samples, 1))
+        sps = float(self.samples_per_step)
+
+        def run(state: State, ctx, key: jax.Array, step0: jnp.ndarray):
+            def body(carry, i):
+                state, key = carry
+                key, sub = jax.random.split(key)
+                progress = (step0 + i) * sps / total
+                alpha = jnp.maximum(alpha0 * (1.0 - progress), alpha_min)
+                state, loss = step_fn(state, ctx, sub, alpha.astype(jnp.float32))
+                return (state, key), loss
+
+            (state, key), losses = jax.lax.scan(
+                body, (state, key), jnp.arange(S, dtype=jnp.float32)
+            )
+            return state, key, jnp.mean(losses)
+
+        return jax.jit(run, donate_argnums=(0,))
+
+    def train(self, state: State, key: jax.Array, verbose: bool = True) -> State:
+        call = self._make_call()
+        steps_total = max(1, -(-self.total_samples // self.samples_per_step))
+        done = 0
+        t0 = time.time()
+        last_loss = float("nan")
+        loss = None
+        while done < steps_total:
+            state, key, loss = call(state, self.ctx, key, jnp.float32(done))
+            done += self.steps_per_call
+            if verbose and self.monitor:
+                last_loss = float(loss)  # also forces real completion
+                pct = min(100.0, 100.0 * done / steps_total)
+                el = time.time() - t0
+                sps = done * self.samples_per_step / max(el, 1e-9)
+                print(
+                    f"\tloss: {last_loss:.5f}\tprogress: {pct:.1f}%\t"
+                    f"samples/sec: {sps:,.0f}",
+                    end="\r",
+                    flush=True,
+                )
+        if loss is not None:
+            float(loss)  # sync: block_until_ready is unreliable over tunnels
+        if verbose and self.monitor:
+            el = time.time() - t0
+            n = steps_total * self.samples_per_step
+            print(
+                f"\n\tdone: {n:,} samples in {el:.2f}s "
+                f"({n / max(el, 1e-9):,.0f} samples/sec)"
+            )
+        return state
+
+
+class PairModelBase:
+    """Base for sampled-pair embedding models (LINE/HPE/MF/BPR family)."""
+
+    vertex_method = "out_degrees"
+    negative_method = "degrees"
+
+    def __init__(self, graph: Graph, seed: int = 0):
+        self.graph = graph
+        self.seed = seed
+        self.tables: Optional[SamplerTables] = None
+        self.state: State = {}
+        self.dim: int = 0
+
+    # -- protocol ------------------------------------------------------- #
+    @classmethod
+    def load_edge_list(cls, path: str, undirected: bool = True, **kw):
+        g = Graph.load_edge_list(path, undirected=undirected)
+        return cls(g, **kw)
+
+    def build_sampler(self) -> SamplerTables:
+        if self.tables is None:
+            self.tables = SamplerTables.build(
+                self.graph,
+                vertex_method=self.vertex_method,
+                negative_method=self.negative_method,
+            )
+        return self.tables
+
+    def init(self, dim: int, **kw) -> None:
+        raise NotImplementedError
+
+    def train(self, **kw) -> None:
+        raise NotImplementedError
+
+    def save_weights(self, path: str, table: str = "vertex") -> None:
+        save_embeddings(path, self.graph.names, np.asarray(self.state[table]))
+
+    def load_pretrain(self, path: str, table: str = "vertex") -> None:
+        self.state[table] = jnp.asarray(
+            warm_start(np.asarray(self.state[table]), self.graph.names, path)
+        )
+
+    # -- helpers -------------------------------------------------------- #
+    def _key(self) -> jax.Array:
+        return jax.random.PRNGKey(self.seed)

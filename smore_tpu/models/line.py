@@ -1,0 +1,99 @@
+"""LINE (Large-scale Information Network Embedding), orders 1 and 2.
+
+Reference: /root/reference/src/model/LINE.{h,cpp} and the Go port
+/root/reference/internal/models/line/line.go.
+
+Semantics preserved:
+  - order=1: one shared table, both endpoints of a sampled edge updated
+    (LINE.cpp:128-158 order-1 branch); init uniform(-0.5,0.5)/dim.
+  - order=2: vertex table uniform-init, context table ZERO-init
+    (LINE.cpp:92); SGNS with source drawn by out-degree^0.75 alias,
+    context by per-vertex edge-weight alias, negatives by degree^0.75.
+  - sample budget = sample_times * 1e6 edge samples; linear alpha decay
+    to alpha*1e-4 (LINE.cpp:119-121,176-187).
+
+TPU design: source/context/negative draws and the fused SGNS update all
+run inside one jitted lax.scan (see smore_tpu/ops/update.py); the tables
+are donated across calls so training is entirely on-device.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from smore_tpu.graph.graph import Graph
+from smore_tpu.models.base import (
+    PairModelBase,
+    TrainDriver,
+    init_embedding,
+    zeros_embedding,
+)
+from smore_tpu.ops.update import sgns_step, sgns_step_shared
+
+
+class LINE(PairModelBase):
+    def __init__(self, graph: Graph, seed: int = 0):
+        super().__init__(graph, seed)
+        self.order = 2
+
+    def init(self, dim: int, order: int = 2) -> None:
+        self.dim = dim
+        self.order = order
+        n = self.graph.n_vertices
+        k1, _ = jax.random.split(self._key())
+        if order == 1:
+            self.state = {"vertex": init_embedding(k1, n, dim)}
+        else:
+            self.state = {
+                "vertex": init_embedding(k1, n, dim),
+                "context": zeros_embedding(n, dim),
+            }
+        self.build_sampler()
+
+    def _make_step(self, batch: int, negatives: int, collision: str = "mean"):
+        order = self.order
+
+        def step(state, tables, key, alpha):
+            k1, k2, k3 = jax.random.split(key, 3)
+            src = tables.source_sample(k1, (batch,))
+            pos = tables.target_sample(k2, src)
+            negs = tables.negative_sample(k3, (batch, negatives))
+            if order == 1:
+                w, loss = sgns_step_shared(
+                    state["vertex"], src, pos, negs, alpha, collision=collision
+                )
+                return {"vertex": w}, loss
+            wv, wc, loss = sgns_step(
+                state["vertex"], state["context"], src, pos, negs, alpha,
+                collision=collision,
+            )
+            return {"vertex": wv, "context": wc}, loss
+
+        return step
+
+    def train(
+        self,
+        sample_times: int = 10,
+        negative_samples: int = 5,
+        alpha: float = 0.025,
+        batch: int = 8192,
+        steps_per_call: int = 128,
+        collision: str = "mean",
+        verbose: bool = True,
+    ) -> None:
+        total = int(sample_times * 1_000_000)
+        driver = TrainDriver(
+            self._make_step(batch, negative_samples, collision),
+            ctx=self.build_sampler(),
+            samples_per_step=batch,
+            alpha=alpha,
+            total_samples=total,
+            steps_per_call=steps_per_call,
+        )
+        self.state = driver.train(self.state, self._key(), verbose=verbose)
+
+    def save_weights(self, path: str, table: str = "vertex") -> None:
+        super().save_weights(path, table="vertex")

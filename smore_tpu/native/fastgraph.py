@@ -1,0 +1,171 @@
+"""ctypes bindings to the C++ native layer (libfastgraph.so).
+
+The native layer covers the host-side data plumbing that the reference
+implements in C++ (edge-list parsing + string interning,
+/root/reference/src/proNet.cpp:41-236, and alias-table construction,
+proNet.cpp:544-620) -- the pieces that are too slow in pure Python at
+Youtube-links scale (SURVEY.md section 7.3 "hard parts").
+
+Falls back gracefully: ``available()`` returns False when the shared
+library has not been built; pure-python paths are used instead.
+Build with: ``make -C smore_tpu/native`` (done automatically on first use).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_HERE, "libfastgraph.so")
+_lib = None
+_lock = threading.Lock()
+_build_attempted = False
+
+
+def _try_build() -> None:
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
+    src = os.path.join(_HERE, "fastgraph.cpp")
+    if not os.path.exists(src):
+        return
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-o", _SO, src],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+    except Exception:
+        pass
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO):
+            _try_build()
+        if not os.path.exists(_SO):
+            return None
+        lib = ctypes.CDLL(_SO)
+
+        lib.fg_load_edgelist.restype = ctypes.c_void_p
+        lib.fg_load_edgelist.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.fg_n_vertices.restype = ctypes.c_longlong
+        lib.fg_n_vertices.argtypes = [ctypes.c_void_p]
+        lib.fg_n_edges.restype = ctypes.c_longlong
+        lib.fg_n_edges.argtypes = [ctypes.c_void_p]
+        lib.fg_names_size.restype = ctypes.c_longlong
+        lib.fg_names_size.argtypes = [ctypes.c_void_p]
+        lib.fg_export.restype = None
+        lib.fg_export.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int64),   # indptr (N+1)
+            np.ctypeslib.ndpointer(np.int32),   # indices (E)
+            np.ctypeslib.ndpointer(np.float64), # weights (E)
+            np.ctypeslib.ndpointer(np.float64), # out_degree (N)
+            np.ctypeslib.ndpointer(np.float64), # in_degree (N)
+            ctypes.c_char_p,                    # names buffer
+        ]
+        lib.fg_free.restype = None
+        lib.fg_free.argtypes = [ctypes.c_void_p]
+
+        lib.fg_build_alias.restype = None
+        lib.fg_build_alias.argtypes = [
+            np.ctypeslib.ndpointer(np.float64),  # norm_prob, modified in place
+            ctypes.c_longlong,
+            np.ctypeslib.ndpointer(np.float64),  # prob out
+            np.ctypeslib.ndpointer(np.int64),    # alias out
+        ]
+        lib.fg_build_alias_segmented.restype = None
+        lib.fg_build_alias_segmented.argtypes = [
+            np.ctypeslib.ndpointer(np.float64),  # weights
+            np.ctypeslib.ndpointer(np.int64),    # indptr
+            ctypes.c_longlong,                   # n segments
+            ctypes.c_double,                     # power
+            np.ctypeslib.ndpointer(np.float64),  # prob out
+            np.ctypeslib.ndpointer(np.int64),    # alias out (local)
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_alias(norm_prob: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Vose build over probabilities already scaled to mean 1."""
+    lib = _load()
+    n = len(norm_prob)
+    prob = np.empty(n, dtype=np.float64)
+    alias = np.empty(n, dtype=np.int64)
+    buf = np.ascontiguousarray(norm_prob, dtype=np.float64).copy()
+    lib.fg_build_alias(buf, n, prob, alias)
+    return prob, alias
+
+
+def build_alias_segmented(
+    weights: np.ndarray, indptr: np.ndarray, power: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    lib = _load()
+    n = len(weights)
+    prob = np.empty(n, dtype=np.float64)
+    alias = np.empty(n, dtype=np.int64)
+    lib.fg_build_alias_segmented(
+        np.ascontiguousarray(weights, dtype=np.float64),
+        np.ascontiguousarray(indptr, dtype=np.int64),
+        len(indptr) - 1,
+        float(power),
+        prob,
+        alias,
+    )
+    return prob, alias
+
+
+def load_edge_list(files: List[str], undirected: bool):
+    """Parse edge-list files with the native tokenizer + interner."""
+    from smore_tpu.graph.graph import Graph
+
+    lib = _load()
+    handle = lib.fg_load_edgelist(
+        "\n".join(files).encode(), 1 if undirected else 0, 0
+    )
+    if not handle:
+        raise RuntimeError("no input files")
+    try:
+        n = lib.fg_n_vertices(handle)
+        e = lib.fg_n_edges(handle)
+        nb = lib.fg_names_size(handle)
+        indptr = np.empty(n + 1, dtype=np.int64)
+        indices = np.empty(e, dtype=np.int32)
+        weights = np.empty(e, dtype=np.float64)
+        out_deg = np.empty(n, dtype=np.float64)
+        in_deg = np.empty(n, dtype=np.float64)
+        names_buf = ctypes.create_string_buffer(nb)
+        lib.fg_export(handle, indptr, indices, weights, out_deg, in_deg, names_buf)
+        names = names_buf.raw[: nb - 1].decode().split("\x00") if nb > 1 else []
+        name2id = {s: i for i, s in enumerate(names)}
+        return Graph(
+            indptr=indptr,
+            indices=indices,
+            weights=weights,
+            names=names,
+            name2id=name2id,
+            out_degree=out_deg,
+            in_degree=in_deg,
+        )
+    finally:
+        lib.fg_free(handle)

@@ -1,0 +1,466 @@
+"""Fused embedding-update kernels (pure-XLA form).
+
+Every reference SGD primitive (proNet::Opt_* , /root/reference/src/
+proNet.cpp:991-1351) and composite kernel (proNet::Update*, proNet.cpp:
+1353-3371) is a per-pair scalar loop: dot -> scalar grad -> axpy into two
+table rows, applied hogwild from many threads. On TPU the equivalent is a
+batched, deterministic step:
+
+    gather rows -> batched dot -> loss-specific scalar grad
+    -> scaled outer products -> scatter-add back
+
+Within-batch index collisions sum their contributions (the analog of
+hogwild races; see SURVEY.md section 7.3). All kernels take an optional
+``mask`` so fixed-shape batches can carry invalid slots (padding from walk
+mappers), and return a scalar mean loss for monitoring.
+
+Notes on fidelity:
+  - the reference's ``fastSigmoid`` is a 1000-bin LUT over [-8, 8] clamped
+    to {0,1} outside (proNet.cpp:52-71); the TPU VPU computes a real
+    sigmoid at full rate, so we use the exact function.
+  - the reference updates context rows mid-loop and the vertex row at the
+    end (deferred ``back_err``); a batch applies everything against the
+    batch-start snapshot. Parity is enforced empirically (quality gates),
+    not bitwise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _maybe_mask(g: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if mask is None:
+        return g
+    return g * mask
+
+
+def scatter_apply(
+    w: jnp.ndarray,
+    idx_deltas,
+    collision: str = "mean",
+) -> jnp.ndarray:
+    """Apply row updates ``[(idx (B,), delta (B, D)), ...]`` to table ``w``.
+
+    collision="sum": plain scatter-add -- duplicate rows in the batch sum
+    their contributions. This is the naive batch analog of hogwild and
+    OVERSHOOTS badly on hub vertices (a hub appearing k times in a batch
+    receives k gradients all computed at the stale snapshot; the reference's
+    sequential hogwild is self-limiting because each update sees the
+    previous one, proNet.cpp:1784-1809).
+
+    collision="mean" (default): each row's accumulated delta is divided by
+    the row's total occurrence count across ALL index sets targeting this
+    table -- identical to "sum" when a row appears once (the common case on
+    large graphs), bounded like a single sequential update on hubs. Cost:
+    one (N,) count buffer + one extra gather per index set.
+
+    Entries may be (idx, delta) or (idx, delta, count_w) where count_w
+    (B,) weights the occurrence count (pass the batch mask so padded slots
+    do not dilute the mean).
+    """
+    if collision == "sum":
+        for entry in idx_deltas:
+            idx, delta = entry[0], entry[1]
+            w = w.at[idx].add(delta)
+        return w
+    cnt = jnp.zeros((w.shape[0],), dtype=w.dtype)
+    for entry in idx_deltas:
+        idx = entry[0]
+        cw = entry[2] if len(entry) > 2 and entry[2] is not None else None
+        cnt = cnt.at[idx].add(1.0 if cw is None else cw)
+    cnt = jnp.maximum(cnt, 1.0)
+    for entry in idx_deltas:
+        idx, delta = entry[0], entry[1]
+        w = w.at[idx].add(delta / cnt[idx][:, None])
+    return w
+
+
+# --------------------------------------------------------------------- #
+# SGNS (skip-gram negative sampling) -- the workhorse.
+# Reference: UpdatePair (proNet.cpp:1784-1809) built on Opt_SigmoidSGD
+# (proNet.cpp:1312-1330).
+# --------------------------------------------------------------------- #
+def sgns_grads(
+    w_vertex: jnp.ndarray,  # (N, D)
+    w_context: jnp.ndarray,  # (M, D)
+    src: jnp.ndarray,  # (B,) int
+    pos: jnp.ndarray,  # (B,) int
+    negs: jnp.ndarray,  # (B, K) int
+    alpha: jnp.ndarray,  # scalar learning rate
+    mask: Optional[jnp.ndarray] = None,  # (B,) 0/1
+    reg: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Compute SGNS deltas. Returns (d_src (B,D), d_pos (B,D),
+    d_neg (B,K,D), loss scalar)."""
+    v = w_vertex[src]  # (B, D)
+    cp = w_context[pos]  # (B, D)
+    cn = w_context[negs]  # (B, K, D)
+
+    f_pos = jnp.einsum("bd,bd->b", v, cp)
+    f_neg = jnp.einsum("bd,bkd->bk", v, cn)
+    s_pos = jax.nn.sigmoid(f_pos)
+    s_neg = jax.nn.sigmoid(f_neg)
+
+    g_pos = _maybe_mask((1.0 - s_pos) * alpha, mask)  # label = 1
+    g_neg = (0.0 - s_neg) * alpha  # label = 0
+    if mask is not None:
+        g_neg = g_neg * mask[:, None]
+
+    d_src = g_pos[:, None] * cp + jnp.einsum("bk,bkd->bd", g_neg, cn)
+    d_pos = g_pos[:, None] * v
+    d_neg = g_neg[:, :, None] * v[:, None, :]
+    if reg:
+        d_src = d_src - (alpha * reg) * v * (1.0 if mask is None else mask[:, None])
+        d_pos = d_pos - (alpha * reg) * cp * (1.0 if mask is None else mask[:, None])
+
+    # Monitoring loss: masked mean binary CE.
+    eps = 1e-7
+    ce = -jnp.log(s_pos + eps) - jnp.sum(jnp.log(1.0 - s_neg + eps), axis=-1)
+    if mask is not None:
+        denom = jnp.maximum(mask.sum(), 1.0)
+        loss = jnp.sum(ce * mask) / denom
+    else:
+        loss = jnp.mean(ce)
+    return d_src, d_pos, d_neg, loss
+
+
+def sgns_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    src: jnp.ndarray,
+    pos: jnp.ndarray,
+    negs: jnp.ndarray,
+    alpha: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    reg: float = 0.0,
+    update_vertex: bool = True,
+    collision: str = "mean",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One SGNS update against distinct vertex/context tables
+    (LINE order-2, DeepWalk, ...). ``update_vertex=False`` gives the
+    reference's UpdateFreezePair (proNet.cpp:1584)."""
+    d_src, d_pos, d_neg, loss = sgns_grads(
+        w_vertex, w_context, src, pos, negs, alpha, mask, reg
+    )
+    B, K, D = d_neg.shape
+    mask_k = None if mask is None else jnp.repeat(mask, K)
+    w_context = scatter_apply(
+        w_context,
+        [
+            (pos, d_pos, mask),
+            (negs.reshape(-1), d_neg.reshape(B * K, D), mask_k),
+        ],
+        collision,
+    )
+    if update_vertex:
+        w_vertex = scatter_apply(w_vertex, [(src, d_src, mask)], collision)
+    return w_vertex, w_context, loss
+
+
+def sgns_step_shared(
+    w: jnp.ndarray,
+    src: jnp.ndarray,
+    pos: jnp.ndarray,
+    negs: jnp.ndarray,
+    alpha: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    reg: float = 0.0,
+    collision: str = "mean",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SGNS with a single shared table (LINE order-1: both endpoints live
+    in the same table, /root/reference/src/model/LINE.cpp order=1 path)."""
+    d_src, d_pos, d_neg, loss = sgns_grads(w, w, src, pos, negs, alpha, mask, reg)
+    B, K, D = d_neg.shape
+    mask_k = None if mask is None else jnp.repeat(mask, K)
+    w = scatter_apply(
+        w,
+        [
+            (src, d_src, mask),
+            (pos, d_pos, mask),
+            (negs.reshape(-1), d_neg.reshape(B * K, D), mask_k),
+        ],
+        collision,
+    )
+    return w, loss
+
+
+# --------------------------------------------------------------------- #
+# Plain dot-product SGD (no sigmoid). Reference Opt_SGD (proNet.cpp:991)
+# used by UpdateFactorizedPair / MF (proNet.cpp:2591).
+# --------------------------------------------------------------------- #
+def mf_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    src: jnp.ndarray,
+    pos: jnp.ndarray,
+    negs: jnp.ndarray,
+    alpha: jnp.ndarray,
+    reg: float = 0.01,
+    mask: Optional[jnp.ndarray] = None,
+    collision: str = "mean",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Matrix-factorization squared-ish loss: g = (label - v.c), with L2."""
+    v = w_vertex[src]
+    cp = w_context[pos]
+    cn = w_context[negs]
+
+    g_pos = _maybe_mask((1.0 - jnp.einsum("bd,bd->b", v, cp)) * alpha, mask)
+    g_neg = (0.0 - jnp.einsum("bd,bkd->bk", v, cn)) * alpha
+    if mask is not None:
+        g_neg = g_neg * mask[:, None]
+
+    ar = alpha * reg
+    d_src = (
+        g_pos[:, None] * cp
+        + jnp.einsum("bk,bkd->bd", g_neg, cn)
+        - ar * (1 + negs.shape[1]) * v
+    )
+    d_pos = g_pos[:, None] * v - ar * cp
+    d_neg = g_neg[:, :, None] * v[:, None, :] - ar * cn
+
+    B, K, D = d_neg.shape
+    mask_k = None if mask is None else jnp.repeat(mask, K)
+    w_context = scatter_apply(
+        w_context,
+        [
+            (pos, d_pos, mask),
+            (negs.reshape(-1), d_neg.reshape(B * K, D), mask_k),
+        ],
+        collision,
+    )
+    w_vertex = scatter_apply(w_vertex, [(src, d_src, mask)], collision)
+    loss = jnp.mean(g_pos**2) / jnp.maximum(alpha, 1e-12) ** 2
+    return w_vertex, w_context, loss
+
+
+# --------------------------------------------------------------------- #
+# BPR. Reference UpdateBPRPair (proNet.cpp:1406-1456): 5 rounds, each with
+# a fresh negative; context rows get L2 (0.0025) per round, the vertex row
+# accumulates over rounds with L2 (0.025) at the end. Batched form: all
+# rounds are computed against the batch snapshot and summed.
+# --------------------------------------------------------------------- #
+def bpr_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    user: jnp.ndarray,  # (B,)
+    pos: jnp.ndarray,  # (B,)
+    negs: jnp.ndarray,  # (B, R) -- R rounds of fresh negatives
+    alpha: jnp.ndarray,
+    reg_ctx: float = 0.0025,
+    reg_vtx: float = 0.025,
+    mask: Optional[jnp.ndarray] = None,
+    update_vertex: bool = True,
+    collision: str = "mean",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    v = w_vertex[user]  # (B, D)
+    ci = w_context[pos]  # (B, D)
+    cj = w_context[negs]  # (B, R, D)
+
+    diff = ci[:, None, :] - cj  # (B, R, D)
+    f = jnp.einsum("bd,brd->br", v, diff)
+    g = jax.nn.sigmoid(-f) * alpha  # Opt_BPRSGD gradient (proNet.cpp:1053)
+    if mask is not None:
+        g = g * mask[:, None]
+        m1 = mask[:, None]
+    else:
+        m1 = 1.0
+
+    R = negs.shape[1]
+    ar_c = alpha * reg_ctx
+    # context_i: sum over rounds of (g*v - L2*ci); context_j: -(g*v) - L2*cj
+    d_ci = jnp.einsum("br,bd->bd", g, v) - ar_c * R * ci * m1
+    d_cj = -g[:, :, None] * v[:, None, :] - ar_c * cj * (
+        1.0 if mask is None else mask[:, None, None]
+    )
+    d_v = jnp.einsum("br,brd->bd", g, diff) - alpha * reg_vtx * v * m1
+
+    B, _, D = d_cj.shape
+    mask_r = None if mask is None else jnp.repeat(mask, R)
+    w_context = scatter_apply(
+        w_context,
+        [
+            (pos, d_ci, mask),
+            (negs.reshape(-1), d_cj.reshape(B * R, D), mask_r),
+        ],
+        collision,
+    )
+    if update_vertex:
+        w_vertex = scatter_apply(w_vertex, [(user, d_v, mask)], collision)
+
+    loss = jnp.mean(jax.nn.softplus(-f))
+    return w_vertex, w_context, loss
+
+
+# --------------------------------------------------------------------- #
+# WARP / WSABIE. Reference UpdateWARPPair (proNet.cpp:1353-1404): up to 32
+# negative trials; the FIRST with margin violation (v.(ci-cj) < 1) triggers
+# one BPR-style update (+ L2 0.0025 on all three rows), then break.
+# TPU form: score all trials at once, select the first violator by argmax
+# over the violation mask (SURVEY.md 7.3).
+# --------------------------------------------------------------------- #
+def warp_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    user: jnp.ndarray,  # (B,)
+    pos: jnp.ndarray,  # (B,)
+    negs: jnp.ndarray,  # (B, T) candidate negatives (T ~ 32)
+    alpha: jnp.ndarray,
+    reg: float = 0.0025,
+    mask: Optional[jnp.ndarray] = None,
+    collision: str = "mean",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    v = w_vertex[user]
+    ci = w_context[pos]
+    cj = w_context[negs]  # (B, T, D)
+
+    f = jnp.einsum("bd,btd->bt", v, ci[:, None, :] - cj)
+    violated = f < 1.0  # margin violation mask
+    any_viol = jnp.any(violated, axis=1)
+    first = jnp.argmax(violated, axis=1)  # first True (0 if none -> masked)
+
+    j = jnp.take_along_axis(negs, first[:, None], axis=1)[:, 0]  # (B,)
+    cjf = w_context[j]
+    diff = ci - cjf
+    fsel = jnp.einsum("bd,bd->b", v, diff)
+    g = jax.nn.sigmoid(-fsel) * alpha
+    act = any_viol.astype(w_vertex.dtype)
+    if mask is not None:
+        act = act * mask
+    g = g * act
+
+    ar = alpha * reg
+    d_v = g[:, None] * diff - ar * v * act[:, None]
+    d_ci = g[:, None] * v - ar * ci * act[:, None]
+    d_cj = -g[:, None] * v - ar * cjf * act[:, None]
+
+    w_context = scatter_apply(
+        w_context, [(pos, d_ci, act), (j, d_cj, act)], collision
+    )
+    w_vertex = scatter_apply(w_vertex, [(user, d_v, act)], collision)
+    loss = jnp.sum(jax.nn.relu(1.0 - fsel) * act) / jnp.maximum(jnp.sum(act), 1.0)
+    return w_vertex, w_context, loss
+
+
+# --------------------------------------------------------------------- #
+# Skew-OPT (UAI'20). Reference Opt_SBPRSGD (proNet.cpp:1070-1098) inside
+# UpdateSBPRPair (proNet.cpp:1517-1566, 16 negatives): on x = v.(ci-cj),
+# let t = (x - xi)/omega, clamp to [-2, 2] (skip if t > 2);
+# g = sigmoid(-t^eta) * eta' where eta' = t^(eta-1)/omega.
+# --------------------------------------------------------------------- #
+def skewbpr_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    user: jnp.ndarray,
+    pos: jnp.ndarray,
+    negs: jnp.ndarray,  # (B, R)
+    alpha: jnp.ndarray,
+    xi: float = 0.0,
+    omega: float = 1.0,
+    eta: int = 1,
+    reg_ctx: float = 0.0025,
+    reg_vtx: float = 0.025,
+    mask: Optional[jnp.ndarray] = None,
+    collision: str = "mean",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    v = w_vertex[user]
+    ci = w_context[pos]
+    cj = w_context[negs]
+
+    diff = ci[:, None, :] - cj  # (B, R, D)
+    x = jnp.einsum("bd,brd->br", v, diff)
+    t = (x - xi) / omega
+    skip = t > 2.0  # reference: return 0 (no update)
+    t = jnp.clip(t, -2.0, None)
+    t_pow = t**eta  # t^eta
+    # chain rule factor t^(eta-1); eta is static so resolve at trace time
+    chain = jnp.ones_like(t) if eta == 1 else t ** (eta - 1)
+    g = jax.nn.sigmoid(-t_pow) * chain / omega * alpha
+    g = jnp.where(skip, 0.0, g)
+    if mask is not None:
+        g = g * mask[:, None]
+        m1 = mask[:, None]
+    else:
+        m1 = 1.0
+
+    R = negs.shape[1]
+    ar_c = alpha * reg_ctx
+    d_ci = jnp.einsum("br,bd->bd", g, v) - ar_c * R * ci * m1
+    d_cj = -g[:, :, None] * v[:, None, :] - ar_c * cj * (
+        1.0 if mask is None else mask[:, None, None]
+    )
+    d_v = jnp.einsum("br,brd->bd", g, diff) - alpha * reg_vtx * v * m1
+
+    B, _, D = d_cj.shape
+    mask_r = None if mask is None else jnp.repeat(mask, R)
+    w_context = scatter_apply(
+        w_context,
+        [
+            (pos, d_ci, mask),
+            (negs.reshape(-1), d_cj.reshape(B * R, D), mask_r),
+        ],
+        collision,
+    )
+    w_vertex = scatter_apply(w_vertex, [(user, d_v, mask)], collision)
+    loss = jnp.mean(jax.nn.softplus(-x))
+    return w_vertex, w_context, loss
+
+
+# --------------------------------------------------------------------- #
+# Margin-filtered BPR with decay (HOP-REC). Reference UpdateFBPRPair
+# (proNet.cpp:1458-1515) via Opt_FBPRSGD (proNet.cpp:1014-1031): skip the
+# update when f = v.(ci-cj) already exceeds the margin.
+# --------------------------------------------------------------------- #
+def fbpr_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    user: jnp.ndarray,
+    pos: jnp.ndarray,
+    negs: jnp.ndarray,  # (B, R)
+    alpha: jnp.ndarray,  # scalar OR (B,) per-pair (HOP-REC decays by hop)
+    margin: jnp.ndarray,  # scalar OR (B,)
+    reg_ctx: float = 0.0025,
+    reg_vtx: float = 0.025,
+    mask: Optional[jnp.ndarray] = None,
+    collision: str = "mean",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    v = w_vertex[user]
+    ci = w_context[pos]
+    cj = w_context[negs]
+
+    alpha_b = jnp.broadcast_to(jnp.asarray(alpha), user.shape)  # (B,)
+    margin_b = jnp.broadcast_to(jnp.asarray(margin), user.shape)
+
+    diff = ci[:, None, :] - cj
+    f = jnp.einsum("bd,brd->br", v, diff)
+    active = (f <= margin_b[:, None]).astype(w_vertex.dtype)
+    g = jax.nn.sigmoid(-f) * alpha_b[:, None] * active
+    if mask is not None:
+        g = g * mask[:, None]
+        act_any = mask
+    else:
+        act_any = jnp.ones_like(alpha_b)
+
+    R = negs.shape[1]
+    ar_c = (alpha_b * reg_ctx)[:, None]
+    d_ci = jnp.einsum("br,bd->bd", g, v) - ar_c * R * ci * act_any[:, None]
+    d_cj = -g[:, :, None] * v[:, None, :] - ar_c[:, :, None] * cj * act_any[:, None, None]
+    d_v = jnp.einsum("br,brd->bd", g, diff) - (alpha_b * reg_vtx)[:, None] * v * act_any[:, None]
+
+    B, _, D = d_cj.shape
+    mask_r = None if mask is None else jnp.repeat(mask, R)
+    w_context = scatter_apply(
+        w_context,
+        [
+            (pos, d_ci, mask),
+            (negs.reshape(-1), d_cj.reshape(B * R, D), mask_r),
+        ],
+        collision,
+    )
+    w_vertex = scatter_apply(w_vertex, [(user, d_v, mask)], collision)
+    loss = jnp.mean(jax.nn.softplus(-f))
+    return w_vertex, w_context, loss
