@@ -1,0 +1,125 @@
+"""Benchmark: LINE order-2 edge-samples/sec on TPU vs the C++ reference.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.md): LINE order-2, dim=64, 5 negatives, 20M edge
+samples on a 50k-vertex / ~4M-edge (undirected) community graph. The
+Youtube-links dataset is unavailable offline, so the graph is a seeded
+synthetic with comparable degree structure; the C++ reference
+(/root/reference, compiled on the fly) runs the IDENTICAL workload on all
+host cores to produce the denominator.
+
+Timing notes: first jit call (compile) is excluded; completion is forced
+via scalar host reads because block_until_ready is unreliable through the
+axon tunnel (see .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+GRAPH_PATH = "/tmp/smore_bench_net.txt"
+REF_DIR = "/tmp/smore_ref_build"
+DIM = 64
+NEGS = 5
+SAMPLE_TIMES = 20  # millions of edge samples
+BATCH = 8192
+ALPHA = 0.025
+
+
+def make_graph(path: str, n=50_000, e=1_000_000, n_comm=100, seed=0) -> None:
+    if os.path.exists(path):
+        return
+    rng = np.random.default_rng(seed)
+    comm = rng.integers(0, n_comm, n)
+    order = np.argsort(comm)
+    sorted_comm = comm[order]
+    starts = np.searchsorted(sorted_comm, np.arange(n_comm))
+    ends = np.searchsorted(sorted_comm, np.arange(n_comm), side="right")
+
+    src = rng.integers(0, n, e)
+    intra = rng.random(e) < 0.9
+    # vectorized intra-community destination draw
+    cs = comm[src]
+    lo, hi = starts[cs], ends[cs]
+    r = rng.random(e)
+    intra_dst = order[(lo + (r * (hi - lo)).astype(np.int64)).clip(0, n - 1)]
+    rand_dst = rng.integers(0, n, e)
+    dst = np.where(intra, intra_dst, rand_dst)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    with open(path, "w") as f:
+        np.savetxt(f, np.stack([src, dst], 1), fmt="v%d v%d 1")
+
+
+def measure_ours() -> float:
+    from smore_tpu.graph.graph import Graph
+    from smore_tpu.models.line import LINE
+
+    g = Graph.load_edge_list(GRAPH_PATH, undirected=True)
+    m = LINE(g, seed=0)
+    m.init(dim=DIM, order=2)
+    # warmup / compile
+    m.train(sample_times=0.6, negative_samples=NEGS, alpha=ALPHA,
+            batch=BATCH, steps_per_call=64, verbose=False)
+    float(m.state["vertex"][0, 0])
+    t0 = time.time()
+    m.train(sample_times=SAMPLE_TIMES, negative_samples=NEGS, alpha=ALPHA,
+            batch=BATCH, steps_per_call=64, verbose=False)
+    float(m.state["vertex"][0, 0])
+    dt = time.time() - t0
+    return SAMPLE_TIMES * 1e6 / dt
+
+
+def measure_reference() -> float:
+    """Compile and run the C++ reference on all host cores."""
+    cache = os.path.join(REF_DIR, "bench_result.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["samples_per_sec"]
+    os.makedirs(REF_DIR, exist_ok=True)
+    for d in ("src", "cli", "Makefile"):
+        subprocess.run(["cp", "-r", f"/root/reference/{d}", REF_DIR], check=True)
+    subprocess.run(["make", "-C", REF_DIR], check=True, capture_output=True)
+    nproc = os.cpu_count() or 1
+    t0 = time.time()
+    subprocess.run(
+        [os.path.join(REF_DIR, "cli", "line"),
+         "-train", GRAPH_PATH, "-save", "/tmp/smore_bench_ref_out.txt",
+         "-order", "2", "-dimensions", str(DIM),
+         "-sample_times", str(SAMPLE_TIMES),
+         "-negative_samples", str(NEGS), "-alpha", str(ALPHA),
+         "-threads", str(nproc)],
+        check=True, capture_output=True,
+    )
+    dt = time.time() - t0
+    sps = SAMPLE_TIMES * 1e6 / dt
+    with open(cache, "w") as f:
+        json.dump({"samples_per_sec": sps, "threads": nproc, "wall_s": dt}, f)
+    return sps
+
+
+def main() -> None:
+    make_graph(GRAPH_PATH)
+    ref = measure_reference()
+    ours = measure_ours()
+    print(json.dumps({
+        "metric": "edge_samples_per_sec_line_o2_dim64_neg5",
+        "value": round(ours),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(ours / ref, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
