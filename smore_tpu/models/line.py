@@ -31,7 +31,11 @@ from smore_tpu.models.base import (
     init_embedding,
     zeros_embedding,
 )
-from smore_tpu.ops.update import sgns_step, sgns_step_shared
+from smore_tpu.ops.update import (
+    sgns_shared_negs_step,
+    sgns_step,
+    sgns_step_shared,
+)
 
 
 class LINE(PairModelBase):
@@ -53,8 +57,38 @@ class LINE(PairModelBase):
             }
         self.build_sampler()
 
-    def _make_step(self, batch: int, negatives: int, collision: str = "mean"):
+    def _make_step(
+        self,
+        batch: int,
+        negatives: int,
+        collision: str = "mean",
+        shared_negatives: int = 128,
+    ):
+        """shared_negatives > 0 (default): draw one pool of that many
+        negatives per step and run the MXU fast path (see
+        ops.update.sgns_shared_negs_step); 0 = strict per-sample negatives
+        like the reference."""
         order = self.order
+
+        if shared_negatives:
+            Ks = shared_negatives
+
+            def step(state, tables, key, alpha):
+                src, pos, negs = tables.draw_edge_batch(key, batch, Ks)
+                if order == 1:
+                    w, _, loss = sgns_shared_negs_step(
+                        state["vertex"], state["vertex"], src, pos, negs,
+                        alpha, k_equiv=negatives, shared_table=True,
+                        collision=collision,
+                    )
+                    return {"vertex": w}, loss
+                wv, wc, loss = sgns_shared_negs_step(
+                    state["vertex"], state["context"], src, pos, negs,
+                    alpha, k_equiv=negatives, collision=collision,
+                )
+                return {"vertex": wv, "context": wc}, loss
+
+            return step
 
         def step(state, tables, key, alpha):
             k1, k2, k3 = jax.random.split(key, 3)
@@ -79,14 +113,17 @@ class LINE(PairModelBase):
         sample_times: int = 10,
         negative_samples: int = 5,
         alpha: float = 0.025,
-        batch: int = 8192,
+        batch: int = 32768,
         steps_per_call: int = 128,
         collision: str = "mean",
+        shared_negatives: int = 128,
         verbose: bool = True,
     ) -> None:
         total = int(sample_times * 1_000_000)
+        if shared_negatives:
+            shared_negatives = min(shared_negatives, batch)
         driver = TrainDriver(
-            self._make_step(batch, negative_samples, collision),
+            self._make_step(batch, negative_samples, collision, shared_negatives),
             ctx=self.build_sampler(),
             samples_per_step=batch,
             alpha=alpha,

