@@ -1,0 +1,95 @@
+"""Shared scaffolding for walk-based SGNS models (DeepWalk family).
+
+Reference loop shape (src/model/DeepWalk.cpp:98-155): per epoch, shuffle
+all vertices, then per vertex: RandomWalk -> mapper -> UpdatePairs, with
+alpha decayed linearly over walk_times * N walks.
+
+TPU loop shape: one jitted step draws a batch of start vertices, runs the
+whole walk + mapper + fused masked SGNS update on device; the alpha
+schedule counts walks. Starts are drawn uniformly at random rather than
+via a per-epoch permutation -- identical in expectation, and it keeps the
+step free of host-fed state. (An epoch-exact permutation stream can be
+threaded through ctx later if parity experiments need it.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from smore_tpu.models.base import (
+    PairModelBase,
+    TrainDriver,
+    init_embedding,
+    zeros_embedding,
+)
+from smore_tpu.ops.update import sgns_shared_negs_step
+
+
+class WalkSGNSBase(PairModelBase):
+    """Base for models whose step = (walks -> positive pairs -> SGNS)."""
+
+    def init(self, dim: int) -> None:
+        self.dim = dim
+        n = self.graph.n_vertices
+        k1, _ = jax.random.split(self._key())
+        self.state = {
+            "vertex": init_embedding(k1, n, dim),
+            "context": zeros_embedding(n, dim),
+        }
+        self.build_sampler()
+
+    # subclasses: build (src, ctx, mask) flat pair arrays from one batch
+    def _emit_pairs(self, tables, key, starts):
+        raise NotImplementedError
+
+    def _make_ctx(self):
+        """Pytree passed to the jitted step (tables by default)."""
+        return self.build_sampler()
+
+    def _tables_of(self, ctx):
+        return ctx
+
+    def _make_step(
+        self, batch_walks: int, negatives: int, shared_negatives: int,
+        collision: str,
+    ):
+        def step(state, ctx, key, alpha):
+            tables = self._tables_of(ctx)
+            k_s, k_w, k_n = jax.random.split(key, 3)
+            n = tables.vertex_prob.shape[0]
+            starts = jax.random.randint(
+                k_s, (batch_walks,), 0, n, dtype=jnp.int32
+            )
+            src, pos, mask = self._emit_pairs(ctx, k_w, starts)
+            negs = tables.negative_sample(k_n, (shared_negatives,))
+            wv, wc, loss = sgns_shared_negs_step(
+                state["vertex"], state["context"], src, pos, negs,
+                alpha, k_equiv=negatives, mask=mask, collision=collision,
+            )
+            return {"vertex": wv, "context": wc}, loss
+
+        return step
+
+    def _run(
+        self,
+        total_walks: int,
+        batch_walks: int,
+        negatives: int,
+        alpha: float,
+        steps_per_call: int,
+        shared_negatives: int,
+        collision: str,
+        verbose: bool,
+    ) -> None:
+        driver = TrainDriver(
+            self._make_step(
+                batch_walks, negatives, shared_negatives, collision
+            ),
+            ctx=self._make_ctx(),
+            samples_per_step=batch_walks,  # schedule counts WALKS
+            alpha=alpha,
+            total_samples=total_walks,
+            steps_per_call=steps_per_call,
+        )
+        self.state = driver.train(self.state, self._key(), verbose=verbose)
