@@ -36,7 +36,7 @@ class APP(WalkSGNSBase):
         batch_walks: int = 8192,
         steps_per_call: int = 64,
         shared_negatives: int = 128,
-        collision: str = "mean",
+        collision: str = "sum",
         verbose: bool = True,
     ) -> None:
         self.jump = jump

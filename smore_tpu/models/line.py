@@ -61,7 +61,7 @@ class LINE(PairModelBase):
         self,
         batch: int,
         negatives: int,
-        collision: str = "mean",
+        collision: str = "sum",
         shared_negatives: int = 128,
     ):
         """shared_negatives > 0 (default): draw one pool of that many
@@ -115,7 +115,7 @@ class LINE(PairModelBase):
         alpha: float = 0.025,
         batch: int = 32768,
         steps_per_call: int = 128,
-        collision: str = "mean",
+        collision: str = "sum",
         shared_negatives: int = 128,
         verbose: bool = True,
     ) -> None:

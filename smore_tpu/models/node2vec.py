@@ -53,7 +53,7 @@ class Node2Vec(WalkSGNSBase):
         batch_walks: int = 128,  # see deepwalk.py on collision dilution
         steps_per_call: int = 64,
         shared_negatives: int = 256,
-        collision: str = "mean",
+        collision: str = "sum",
         verbose: bool = True,
     ) -> None:
         self.p, self.q = p, q

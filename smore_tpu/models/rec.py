@@ -1,0 +1,160 @@
+"""Recommendation models on a single shared embedding table:
+MF, BPR, WARP, Skew-OPT.
+
+Reference: /root/reference/src/model/{MF,BPR,WARP,SkewOPT}.cpp -- all share
+the loop ``SourceSample -> TargetSample -> Update*Pair`` on ONE table
+(w_vertex passed as both vertex and context), with
+negative_method="no_degrees" (uniform over vertices with in-edges) set in
+each constructor (MF.cpp:4-7 etc.). CLI defaults from cli/{mf,bpr,warp,
+skewopt}.cpp: dim=64, sample_times=10, neg=5, alpha=0.025, reg=0.01;
+skewopt adds xi=10, omega=3, eta=3.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from smore_tpu.models.base import (
+    PairModelBase,
+    TrainDriver,
+    init_embedding,
+)
+from smore_tpu.ops.update import bpr_step, mf_step, skewbpr_step, warp_step
+
+
+class _SharedTableRec(PairModelBase):
+    """Shared scaffolding: one table, src/pos/negs draws, one kernel."""
+
+    negative_method = "no_degrees"
+
+    def init(self, dim: int) -> None:
+        self.dim = dim
+        k1, _ = jax.random.split(self._key())
+        self.state = {"vertex": init_embedding(k1, self.graph.n_vertices, dim)}
+        self.build_sampler()
+
+    def _kernel(self, state, tables, src, pos, negs, key, alpha):
+        raise NotImplementedError
+
+    def _n_negs(self) -> int:
+        raise NotImplementedError
+
+    def _make_step(self, batch: int, collision: str):
+        R = self._n_negs()
+
+        def step(state, tables, key, alpha):
+            k1, k2, k3 = jax.random.split(key, 3)
+            src = tables.source_sample(k1, (batch,))
+            pos = tables.target_sample(k2, src)
+            negs = tables.negative_sample(k3, (batch, R))
+            w, loss = self._kernel(state, src, pos, negs, alpha, collision)
+            return {"vertex": w}, loss
+
+        return step
+
+    def train(
+        self,
+        sample_times: int = 10,
+        alpha: float = 0.025,
+        batch: int = 8192,
+        steps_per_call: int = 128,
+        collision: str = "sum",
+        verbose: bool = True,
+        **kw,
+    ) -> None:
+        for k, v in kw.items():
+            if not hasattr(self, k):
+                raise TypeError(f"unknown train arg {k!r}")
+            setattr(self, k, v)
+        driver = TrainDriver(
+            self._make_step(batch, collision),
+            ctx=self.build_sampler(),
+            samples_per_step=batch,
+            alpha=alpha,
+            total_samples=int(sample_times * 1_000_000),
+            steps_per_call=steps_per_call,
+        )
+        self.state = driver.train(self.state, self._key(), verbose=verbose)
+
+
+class MF(_SharedTableRec):
+    """Matrix factorization via UpdateFactorizedPair (proNet.cpp:2591)."""
+
+    def __init__(self, graph, seed: int = 0, reg: float = 0.01,
+                 negative_samples: int = 5):
+        super().__init__(graph, seed)
+        self.reg = reg
+        self.negative_samples = negative_samples
+
+    def _n_negs(self):
+        return self.negative_samples
+
+    def _kernel(self, state, src, pos, negs, alpha, collision):
+        w, _, loss = mf_step(
+            state["vertex"], state["vertex"], src, pos, negs, alpha,
+            reg=self.reg, shared_table=True, collision=collision,
+        )
+        return w, loss
+
+
+class BPR(_SharedTableRec):
+    """Bayesian personalized ranking via UpdateBPRPair
+    (proNet.cpp:1406-1456; 5 fresh negatives per drawn pair)."""
+
+    def __init__(self, graph, seed: int = 0, rounds: int = 5):
+        super().__init__(graph, seed)
+        self.rounds = rounds
+
+    def _n_negs(self):
+        return self.rounds
+
+    def _kernel(self, state, src, pos, negs, alpha, collision):
+        w, _, loss = bpr_step(
+            state["vertex"], state["vertex"], src, pos, negs, alpha,
+            shared_table=True, collision=collision,
+        )
+        return w, loss
+
+
+class WARP(_SharedTableRec):
+    """WSABIE k-order ranking via UpdateWARPPair (proNet.cpp:1353-1404;
+    first margin violator among up to 32 trials gets the update)."""
+
+    def __init__(self, graph, seed: int = 0, trials: int = 32):
+        super().__init__(graph, seed)
+        self.trials = trials
+
+    def _n_negs(self):
+        return self.trials
+
+    def _kernel(self, state, src, pos, negs, alpha, collision):
+        w, _, loss = warp_step(
+            state["vertex"], state["vertex"], src, pos, negs, alpha,
+            shared_table=True, collision=collision,
+        )
+        return w, loss
+
+
+class SkewOPT(_SharedTableRec):
+    """Skew-OPT (UAI'20) via UpdateSBPRPair (proNet.cpp:1517-1566;
+    16 negatives, (xi, omega, eta) skewed logistic)."""
+
+    def __init__(self, graph, seed: int = 0, xi: float = 10.0,
+                 omega: float = 3.0, eta: int = 3, rounds: int = 16):
+        super().__init__(graph, seed)
+        self.xi = xi
+        self.omega = omega
+        self.eta = eta
+        self.rounds = rounds
+
+    def _n_negs(self):
+        return self.rounds
+
+    def _kernel(self, state, src, pos, negs, alpha, collision):
+        w, _, loss = skewbpr_step(
+            state["vertex"], state["vertex"], src, pos, negs, alpha,
+            xi=self.xi, omega=self.omega, eta=self.eta,
+            shared_table=True, collision=collision,
+        )
+        return w, loss
