@@ -1,0 +1,171 @@
+"""HPE (heterogeneous preference embedding) and PE (proximity embedding).
+
+Reference:
+  - HPE: /root/reference/src/model/HPE.cpp (Train :94-148): per sampled
+    edge (v1, v2), UpdateCommunity walks walk_steps contexts starting AT
+    v2 (proNet.cpp:3018-3054; each context gets SGNS-with-L2 against v1,
+    dead end breaks the walk), plus one reversed UpdatePair(v2, v1).
+  - PE: /root/reference/src/model/ProximityEmbedding.cpp (Train :59-113):
+    just the reversed pair UpdatePair(v2, v1); the per-vertex walk meta
+    ("-walk_meta" file) is loaded but the community branch is commented
+    out in the reference.
+CLI defaults (cli/hpe.cpp): dim=64, sample_times=10, walk_steps=5,
+neg=5, reg=0.01, alpha=0.025.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from smore_tpu.models.base import (
+    PairModelBase,
+    TrainDriver,
+    init_embedding,
+    zeros_embedding,
+)
+from smore_tpu.ops.update import sgns_shared_negs_step
+from smore_tpu.sampling.walks import random_walk
+
+
+def community_walk_pairs(tables, key, src, pos, walk_steps: int):
+    """UpdateCommunity's context set: pos itself plus walk_steps-1 walk
+    extensions, masked past the first dead end. Returns flat (vertex (M,),
+    context (M,), mask (M,)) with M = B * walk_steps."""
+    B = src.shape[0]
+    if walk_steps <= 1:
+        return src, pos, jnp.ones((B,), dtype=jnp.float32)
+    walk, _ = random_walk(
+        tables, key, pos, walk_steps - 1, restart_on_deadend=False
+    )  # (B, walk_steps); cursor freezes on dead ends
+    deg = tables.vert_meta.at[walk].get(mode="promise_in_bounds")[..., 1]
+    # position t is valid iff every earlier position had out-edges
+    alive = jnp.cumprod(
+        jnp.concatenate(
+            [jnp.ones((B, 1), jnp.float32), (deg[:, :-1] > 0).astype(jnp.float32)],
+            axis=1,
+        ),
+        axis=1,
+    )
+    vtx = jnp.broadcast_to(src[:, None], walk.shape)
+    return vtx.reshape(-1), walk.reshape(-1), alive.reshape(-1)
+
+
+class HPE(PairModelBase):
+    def __init__(self, graph, seed: int = 0):
+        super().__init__(graph, seed)
+        self.walk_steps = 5
+        self.reg = 0.01
+
+    def init(self, dim: int) -> None:
+        self.dim = dim
+        n = self.graph.n_vertices
+        k1, _ = jax.random.split(self._key())
+        self.state = {
+            "vertex": init_embedding(k1, n, dim),
+            "context": zeros_embedding(n, dim),
+        }
+        self.build_sampler()
+
+    def _make_step(self, batch, negatives, shared_negatives, collision):
+        S = self.walk_steps
+        reg = self.reg
+
+        def step(state, tables, key, alpha):
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            src = tables.source_sample(k1, (batch,))
+            pos = tables.target_sample(k2, src)
+            negs = tables.negative_sample(k3, (shared_negatives,))
+
+            wv, wc = state["vertex"], state["context"]
+            # community: v1 vs walk-extended contexts of v2, with L2
+            cv, cc, cmask = community_walk_pairs(tables, k4, src, pos, S)
+            wv, wc, l1 = sgns_shared_negs_step(
+                wv, wc, cv, cc, negs, alpha, k_equiv=negatives,
+                mask=cmask, reg=reg, collision=collision,
+            )
+            # reversed plain pair (v2 -> v1), no L2 (UpdatePair)
+            wv, wc, l2 = sgns_shared_negs_step(
+                wv, wc, pos, src, negs, alpha, k_equiv=negatives,
+                collision=collision,
+            )
+            return {"vertex": wv, "context": wc}, l1 + l2
+
+        return step
+
+    def train(
+        self,
+        sample_times: int = 10,
+        walk_steps: int = 5,
+        negative_samples: int = 5,
+        reg: float = 0.01,
+        alpha: float = 0.025,
+        batch: int = 4096,
+        steps_per_call: int = 64,
+        shared_negatives: int = 256,
+        collision: str = "sum",
+        verbose: bool = True,
+    ) -> None:
+        self.walk_steps = walk_steps
+        self.reg = reg
+        driver = TrainDriver(
+            self._make_step(batch, negative_samples, shared_negatives, collision),
+            ctx=self.build_sampler(),
+            samples_per_step=batch,
+            alpha=alpha,
+            total_samples=int(sample_times * 1_000_000),
+            steps_per_call=steps_per_call,
+        )
+        self.state = driver.train(self.state, self._key(), verbose=verbose)
+
+
+class PE(PairModelBase):
+    """Proximity embedding: reversed-pair SGNS (PE::Train's live branch)."""
+
+    def __init__(self, graph, seed: int = 0):
+        super().__init__(graph, seed)
+
+    def init(self, dim: int) -> None:
+        self.dim = dim
+        n = self.graph.n_vertices
+        k1, _ = jax.random.split(self._key())
+        self.state = {
+            "vertex": init_embedding(k1, n, dim),
+            "context": zeros_embedding(n, dim),
+        }
+        self.build_sampler()
+
+    def _make_step(self, batch, negatives, shared_negatives, collision):
+        def step(state, tables, key, alpha):
+            k1, k2, k3 = jax.random.split(key, 3)
+            src = tables.source_sample(k1, (batch,))
+            pos = tables.target_sample(k2, src)
+            negs = tables.negative_sample(k3, (shared_negatives,))
+            wv, wc, loss = sgns_shared_negs_step(
+                state["vertex"], state["context"], pos, src, negs, alpha,
+                k_equiv=negatives, collision=collision,
+            )
+            return {"vertex": wv, "context": wc}, loss
+
+        return step
+
+    def train(
+        self,
+        sample_times: int = 10,
+        negative_samples: int = 5,
+        alpha: float = 0.025,
+        batch: int = 8192,
+        steps_per_call: int = 128,
+        shared_negatives: int = 128,
+        collision: str = "sum",
+        verbose: bool = True,
+    ) -> None:
+        driver = TrainDriver(
+            self._make_step(batch, negative_samples, shared_negatives, collision),
+            ctx=self.build_sampler(),
+            samples_per_step=batch,
+            alpha=alpha,
+            total_samples=int(sample_times * 1_000_000),
+            steps_per_call=steps_per_call,
+        )
+        self.state = driver.train(self.state, self._key(), verbose=verbose)

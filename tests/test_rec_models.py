@@ -1,0 +1,132 @@
+"""Quality gates for the rec-model zoo (MF/BPR/WARP/SkewOPT/HPE/PE/
+HOPREC) on a synthetic user-item graph with two taste clusters: users
+must score their own cluster's items above the other cluster's."""
+
+import numpy as np
+import pytest
+
+from smore_tpu.graph.graph import Graph
+from smore_tpu.models.hoprec import HOPREC
+from smore_tpu.models.hpe import HPE, PE
+from smore_tpu.models.rec import BPR, MF, WARP, SkewOPT
+
+
+N_USERS, N_ITEMS = 20, 30
+
+
+@pytest.fixture(scope="module")
+def ui_graph():
+    """Two taste clusters; users interact mostly within their cluster."""
+    rng = np.random.default_rng(3)
+    edges = []
+    for u in range(N_USERS):
+        cl = u % 2
+        own = [i for i in range(N_ITEMS) if i % 2 == cl]
+        other = [i for i in range(N_ITEMS) if i % 2 != cl]
+        for i in rng.choice(own, 9, replace=False):
+            edges.append((f"u{u}", f"i{i}", 1.0))
+        edges.append((f"u{u}", f"i{rng.choice(other)}", 1.0))
+    return Graph.from_edges(edges, undirected=True)
+
+
+@pytest.fixture(scope="module")
+def ui_fields(ui_graph, tmp_path_factory):
+    p = tmp_path_factory.mktemp("fields") / "field.txt"
+    lines = []
+    for nm in ui_graph.names:
+        lines.append(f"{nm} {'user' if nm.startswith('u') else 'item'}\n")
+    p.write_text("".join(lines))
+    return str(p)
+
+
+def _pref_gap(m, table_v="vertex", table_c="vertex"):
+    wv = np.asarray(m.state[table_v])
+    wc = np.asarray(m.state[table_c])
+    g = m.graph
+    own, other = [], []
+    for u in range(0, N_USERS, 2):
+        for i in range(0, N_ITEMS, 3):
+            s = wv[g.name2id[f"u{u}"]] @ wc[g.name2id[f"i{i}"]]
+            (own if i % 2 == u % 2 else other).append(s)
+    return np.mean(own) - np.mean(other)
+
+
+KW = dict(sample_times=0.05, alpha=0.02, batch=64, steps_per_call=16,
+          verbose=False)
+
+
+def test_mf_learns_preferences(ui_graph):
+    m = MF(ui_graph, seed=0)
+    m.init(dim=16)
+    m.train(**KW)
+    assert _pref_gap(m) > 0.05
+
+
+def test_bpr_learns_preferences(ui_graph):
+    m = BPR(ui_graph, seed=0)
+    m.init(dim=16)
+    m.train(**KW)
+    assert _pref_gap(m) > 0.05
+
+
+def test_warp_learns_preferences(ui_graph):
+    m = WARP(ui_graph, seed=0)
+    m.init(dim=16)
+    m.train(**KW)
+    assert _pref_gap(m) > 0.05
+
+
+def test_skewopt_learns_preferences(ui_graph):
+    m = SkewOPT(ui_graph, seed=0, xi=0.0, omega=1.0, eta=1)
+    m.init(dim=16)
+    m.train(**KW)
+    assert _pref_gap(m) > 0.05
+
+
+def test_hpe_learns_preferences(ui_graph):
+    m = HPE(ui_graph, seed=0)
+    m.init(dim=16)
+    m.train(sample_times=0.05, walk_steps=3, negative_samples=5,
+            alpha=0.02, batch=64, steps_per_call=16, verbose=False)
+    assert _pref_gap(m, "vertex", "context") > 0.02
+
+
+def test_pe_learns_preferences(ui_graph):
+    m = PE(ui_graph, seed=0)
+    m.init(dim=16)
+    m.train(sample_times=0.05, negative_samples=5, alpha=0.02,
+            batch=64, steps_per_call=16, verbose=False)
+    # PE updates (pos -> src): score context(user) . vertex(item)
+    assert _pref_gap(m, "context", "vertex") != 0.0  # smoke: trains at all
+
+
+def test_hoprec_learns_preferences(ui_graph, ui_fields):
+    ui_graph.load_field_meta(ui_fields)
+    # 'user' must be field 0 (sources) -- assert the fixture ordering
+    assert ui_graph.field_names[0] == "user"
+    m = HOPREC(ui_graph, seed=0)
+    m.init(dim=16)
+    m.train(sample_times=0.05, walk_steps=2, alpha=0.02, batch=64,
+            steps_per_call=16, verbose=False)
+    assert _pref_gap(m) > 0.05
+
+
+def test_hoprec_negatives_field_matched(ui_graph, ui_fields):
+    """Field tables must only emit vertices of the requested field."""
+    import jax
+
+    ui_graph.load_field_meta(ui_fields)
+    from smore_tpu.sampling.fields import FieldTables
+
+    ft = FieldTables.build(ui_graph)
+    fids = np.asarray(ui_graph.fields)
+    import jax.numpy as jnp
+
+    draws = ft.negative_field_sample(
+        jax.random.PRNGKey(0), jnp.full((512,), 1, dtype=jnp.int32)
+    )
+    assert np.all(fids[np.asarray(draws)] == 1)
+    draws0 = ft.negative_field_sample(
+        jax.random.PRNGKey(1), jnp.zeros((512,), dtype=jnp.int32)
+    )
+    assert np.all(fids[np.asarray(draws0)] == 0)
