@@ -1,0 +1,171 @@
+"""GCN and TextGCN: sampled neighbor-sum CBOW models.
+
+Reference:
+  - GCN: /root/reference/src/model/GCN.cpp (Train :62-118): field-0
+    sources, UpdateCBOW(v1, v1) -- both sides aggregate sampled 1-hop
+    neighborhoods of v1.
+  - TEXTGCN: /root/reference/src/model/TEXTGCN.cpp (Train :89-144):
+    fields are 0=doc, 1=filtered, 2=word; v1 = field-0 doc,
+    v2 = TargetSample(v1), UpdateCBOW(v2, v1). SaveWeights (:20-49)
+    writes docs as the SUM of their neighbors' vertex rows, words as
+    their own rows, and skips field-1 vertices.
+
+Negative sets are uniform draws over field-1 vertices (UpdateCBOW's
+rejection loop, proNet.cpp:2952-2956); on a graph without field metadata
+they fall back to uniform over all vertices.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smore_tpu.models.base import (
+    PairModelBase,
+    TrainDriver,
+    init_embedding,
+    zeros_embedding,
+)
+from smore_tpu.io.embeddings import save_embeddings
+from smore_tpu.ops.community import cbow_step
+from smore_tpu.sampling.fields import FieldTables
+
+
+class GCN(PairModelBase):
+    src_field = 0
+    neg_field = 1
+
+    def __init__(self, graph, seed: int = 0):
+        super().__init__(graph, seed)
+        self.walk_steps = 5
+        self.reg = 0.01
+
+    def init(self, dim: int) -> None:
+        self.dim = dim
+        n = self.graph.n_vertices
+        k1, _ = jax.random.split(self._key())
+        self.state = {
+            "vertex": init_embedding(k1, n, dim),
+            "context": zeros_embedding(n, dim),
+        }
+        self.build_sampler()
+
+    def load_field_meta(self, path: str) -> None:
+        self.graph.load_field_meta(path)
+
+    def _make_ctx(self):
+        g = self.graph
+        src_t = FieldTables.build(g, weights=g.out_degree)
+        neg_t = FieldTables.build(g, weights=np.ones(g.n_vertices))
+        return (self.build_sampler(), src_t, neg_t)
+
+    def _make_step(self, batch, negatives, collision):
+        S = self.walk_steps
+        reg = self.reg
+        has_fields = self.graph.n_fields > 1
+        nf = self.neg_field if has_fields else 0
+
+        def step(state, ctx, key, alpha):
+            tables, src_t, neg_t = ctx
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            vert, cont = self._sample_vc(tables, src_t, k1, batch)
+
+            # S independent 1-hop draws per side (UpdateCBOW's
+            # TargetSample loops -- NOT a walk)
+            u = jax.random.uniform(k2, (batch, 2 * S, 2))
+            vctx = jnp.stack(
+                [tables.target_sample(None, vert, u2=u[:, i]) for i in range(S)],
+                axis=1,
+            )
+            cctx = jnp.stack(
+                [
+                    tables.target_sample(None, cont, u2=u[:, S + i])
+                    for i in range(S)
+                ],
+                axis=1,
+            )
+            mask = (
+                tables.vert_meta.at[vert].get(mode="promise_in_bounds")[:, 1]
+                > 0
+            ).astype(jnp.float32) * (
+                tables.vert_meta.at[cont].get(mode="promise_in_bounds")[:, 1]
+                > 0
+            ).astype(jnp.float32)
+
+            negs = neg_t.negative_field_sample(
+                k3,
+                jnp.full((batch, negatives, S), nf, dtype=jnp.int32),
+            )
+            w, loss = cbow_step(
+                state["vertex"], vctx, cctx, negs, alpha, reg=reg,
+                mask=mask, collision=collision,
+            )
+            return {"vertex": w, "context": state["context"]}, loss
+
+        return step
+
+    def _sample_vc(self, tables, src_t, key, batch):
+        zeros = jnp.full((batch,), self.src_field, dtype=jnp.int32)
+        v1 = src_t.negative_field_sample(key, zeros)
+        return v1, v1
+
+    def train(
+        self,
+        sample_times: int = 10,
+        walk_steps: int = 5,
+        negative_samples: int = 5,
+        reg: float = 0.01,
+        alpha: float = 0.025,
+        batch: int = 2048,
+        steps_per_call: int = 64,
+        collision: str = "sum",
+        verbose: bool = True,
+    ) -> None:
+        self.walk_steps = walk_steps
+        self.reg = reg
+        driver = TrainDriver(
+            self._make_step(batch, negative_samples, collision),
+            ctx=self._make_ctx(),
+            samples_per_step=batch,
+            alpha=alpha,
+            total_samples=int(sample_times * 1_000_000),
+            steps_per_call=steps_per_call,
+        )
+        self.state = driver.train(self.state, self._key(), verbose=verbose)
+
+
+class TEXTGCN(GCN):
+    """Doc-word CBOW; vertex side = TargetSample(doc), context side = doc."""
+
+    def _sample_vc(self, tables, src_t, key, batch):
+        k1, k2 = jax.random.split(key)
+        zeros = jnp.full((batch,), self.src_field, dtype=jnp.int32)
+        v1 = src_t.negative_field_sample(k1, zeros)
+        v2 = tables.target_sample(k2, v1)
+        return v2, v1
+
+    def save_weights(self, path: str, table: str = "vertex") -> None:
+        """TEXTGCN::SaveWeights: docs (field 0) = sum of neighbor rows,
+        words (field 2) = own row, field-1 vertices skipped."""
+        g = self.graph
+        wv = np.asarray(self.state["vertex"])
+        fields = (
+            g.fields if g.fields is not None else np.zeros(g.n_vertices, int)
+        )
+        names, rows = [], []
+        for vid, nm in enumerate(g.names):
+            f = int(fields[vid])
+            if f == 1:
+                continue
+            names.append(nm)
+            if f == 0:
+                nbrs = g.neighbors(vid)
+                rows.append(
+                    wv[nbrs].sum(axis=0)
+                    if len(nbrs)
+                    else np.zeros(self.dim, np.float32)
+                )
+            else:
+                rows.append(wv[vid])
+        save_embeddings(path, names, np.asarray(rows, dtype=np.float32))

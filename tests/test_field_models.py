@@ -1,0 +1,139 @@
+"""GCN/TextGCN/CSE/FINE/ECO: smoke + learning tests on a doc-word /
+user-item style field graph."""
+
+import numpy as np
+import pytest
+
+from smore_tpu.graph.graph import Graph
+from smore_tpu.models.cse import NEMF, NERANK
+from smore_tpu.models.eco import ECO
+from smore_tpu.models.fine import FINE, MSFINE
+from smore_tpu.models.gcn import GCN, TEXTGCN
+
+
+N_U, N_I = 16, 24
+
+
+@pytest.fixture(scope="module")
+def field_graph(tmp_path_factory):
+    """Bipartite user-item graph with 2 taste clusters + field file
+    (users = field 'u' -> 0, items = field 'i' -> 1)."""
+    rng = np.random.default_rng(5)
+    edges = []
+    for u in range(N_U):
+        cl = u % 2
+        own = [i for i in range(N_I) if i % 2 == cl]
+        for i in rng.choice(own, 8, replace=False):
+            edges.append((f"u{u}", f"i{i}", 1.0))
+    g = Graph.from_edges(edges, undirected=True)
+    p = tmp_path_factory.mktemp("f") / "field.txt"
+    p.write_text(
+        "".join(
+            f"{nm} {'u' if nm.startswith('u') else 'i'}\n" for nm in g.names
+        )
+    )
+    g.load_field_meta(str(p))
+    assert g.field_names[0] == "u"  # users are field 0 (sources)
+    return g
+
+
+def _gap(g, wv, wc=None):
+    wc = wv if wc is None else wc
+    own, other = [], []
+    for u in range(N_U):
+        for i in range(N_I):
+            s = wv[g.name2id[f"u{u}"]] @ wc[g.name2id[f"i{i}"]]
+            (own if i % 2 == u % 2 else other).append(s)
+    return np.mean(own) - np.mean(other)
+
+
+def test_gcn_trains(field_graph):
+    m = GCN(field_graph, seed=0)
+    m.init(dim=16)
+    m.train(sample_times=0.02, walk_steps=3, negative_samples=3,
+            alpha=0.01, batch=32, steps_per_call=8, verbose=False)
+    wv = np.asarray(m.state["vertex"])
+    assert np.isfinite(wv).all()
+    # On a bipartite graph GCN's CBOW only touches item rows (both sides
+    # aggregate the user's item neighbors): check item-item cluster
+    # alignment instead of user-item scores.
+    g = field_graph
+    own, other = [], []
+    for i in range(N_I):
+        for j in range(i + 1, N_I):
+            s = wv[g.name2id[f"i{i}"]] @ wv[g.name2id[f"i{j}"]]
+            (own if i % 2 == j % 2 else other).append(s)
+    assert np.mean(own) > np.mean(other)
+
+
+def test_textgcn_trains_and_saves(field_graph, tmp_path):
+    m = TEXTGCN(field_graph, seed=0)
+    m.init(dim=16)
+    m.train(sample_times=0.02, walk_steps=3, negative_samples=3,
+            alpha=0.01, batch=32, steps_per_call=8, verbose=False)
+    out = tmp_path / "tg.txt"
+    m.save_weights(str(out))
+    lines = out.read_text().strip().split("\n")
+    # field-1 (items here) rows are skipped in the dump
+    n_field0 = sum(1 for nm in field_graph.names if nm.startswith("u"))
+    assert len(lines) == 1 + n_field0
+
+
+def test_nemf_learns(field_graph):
+    m = NEMF(field_graph, seed=0)
+    m.init(dim=16)
+    m.train(sample_times=0.05, walk_steps=3, negative_samples=3,
+            alpha=0.02, batch=64, steps_per_call=8, verbose=False)
+    gap = _gap(
+        field_graph,
+        np.asarray(m.state["vertexU"]),
+        np.asarray(m.state["vertexI"]),
+    )
+    assert gap > 0.02
+
+
+def test_nerank_learns_and_saves(field_graph, tmp_path):
+    m = NERANK(field_graph, seed=0)
+    m.init(dim=16)
+    m.train(sample_times=0.05, walk_steps=3, negative_samples=3,
+            alpha=0.02, batch=64, steps_per_call=8, verbose=False)
+    gap = _gap(
+        field_graph,
+        np.asarray(m.state["vertexU"]),
+        np.asarray(m.state["vertexI"]),
+    )
+    assert gap > 0.0
+    out = tmp_path / "cse.txt"
+    m.save_weights(str(out))
+    assert out.read_text().split("\n")[0] == f"{field_graph.n_vertices} 16"
+
+
+def test_fine_learns_and_saves(field_graph, tmp_path):
+    m = FINE(field_graph, seed=0)
+    m.init(dim=8)
+    m.train(sample_times=0.05, walk_steps=2, negative_samples=3,
+            alpha=0.02, batch=64, steps_per_call=8, verbose=False)
+    wv = np.asarray(m.state["vertex"])
+    assert np.isfinite(wv).all()
+    out = tmp_path / "fine.txt"
+    m.save_weights(str(out))
+    first = out.read_text().split("\n")[1].split()
+    assert len(first) == 1 + 2 * 8  # name + both field projections
+
+
+def test_msfine_trains(field_graph):
+    m = MSFINE(field_graph, seed=0)
+    m.init(dim=8)
+    m.train(sample_times=0.02, walk_steps=2, negative_samples=3,
+            alpha=0.02, batch=32, steps_per_call=8, verbose=False)
+    assert np.isfinite(np.asarray(m.state["vertex"])).all()
+
+
+def test_eco_learns(field_graph):
+    m = ECO(field_graph, seed=0)
+    m.init(dim=16)
+    m.train(sample_times=0.05, negative_samples=3, alpha=0.005,
+            batch=32, steps_per_call=8, verbose=False)
+    wv = np.asarray(m.state["vertex"])
+    assert np.isfinite(wv).all()
+    assert _gap(field_graph, wv) > 0.0
