@@ -1,0 +1,127 @@
+"""metapath2vec: type-constrained walks + skip-gram SGNS.
+
+Reference: /root/reference/internal/models/metapath2vec/metapath2vec.go --
+per node per walk_time: pick a RANDOM registered metapath (:180), run a
+MetaPathWalk (hetero_graph.go:221-257), skip-gram with negatives from a
+UNIFORM^0.75 alias table (:139-145). Walks shorter than 2 are skipped.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smore_tpu.graph.hetero import HeteroGraph, HeteroTables
+from smore_tpu.io.embeddings import save_embeddings
+from smore_tpu.models.base import TrainDriver, init_embedding, zeros_embedding
+from smore_tpu.ops.update import sgns_shared_negs_step
+from smore_tpu.sampling.mappers import skipgram_pairs
+
+
+class Metapath2Vec:
+    def __init__(self, hg: HeteroGraph, seed: int = 0):
+        self.hg = hg
+        self.seed = seed
+        self.meta_paths: List[List[str]] = []
+        self.state = {}
+        self.dim = 0
+
+    @classmethod
+    def load_edge_list(cls, path: str, undirected: bool = True, **kw):
+        return cls(HeteroGraph.load_edge_list(path, undirected), **kw)
+
+    def add_meta_path(self, path: List[str]) -> None:
+        for t in path:
+            if t not in self.hg.type2id:
+                raise ValueError(f"unknown node type in meta-path: {t}")
+        if len(path) < 2:
+            raise ValueError("meta-path must have at least 2 types")
+        self.meta_paths.append(path)
+
+    def init(self, dim: int) -> None:
+        self.dim = dim
+        n = self.hg.n_vertices
+        k1, _ = jax.random.split(jax.random.PRNGKey(self.seed))
+        self.state = {
+            "vertex": init_embedding(k1, n, dim),
+            "context": zeros_embedding(n, dim),
+        }
+
+    def _make_ctx(self):
+        hg = self.hg
+        lmax = max(len(p) for p in self.meta_paths)
+        pt = np.zeros((len(self.meta_paths), lmax), dtype=np.int32)
+        pl = np.zeros(len(self.meta_paths), dtype=np.int32)
+        for i, p in enumerate(self.meta_paths):
+            pl[i] = len(p)
+            for j, t in enumerate(p):
+                pt[i, j] = hg.type2id[t]
+        return (
+            HeteroTables.build(hg),
+            jnp.asarray(pt),
+            jnp.asarray(pl),
+        )
+
+    def _make_step(self, batch_walks, walk_steps, window, negatives,
+                   shared_negatives, collision):
+        n = self.hg.n_vertices
+        n_paths = len(self.meta_paths)
+
+        def step(state, ctx, key, alpha):
+            tables, pt, pl = ctx
+            k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+            starts = jax.random.randint(
+                k1, (batch_walks,), 0, n, dtype=jnp.int32
+            )
+            pidx = jax.random.randint(
+                k2, (batch_walks,), 0, n_paths, dtype=jnp.int32
+            )
+            walk, valid = tables.metapath_walk(
+                k3, starts, pt, pl, pidx, walk_steps
+            )
+            src, pos, mask = skipgram_pairs(walk, k4, window, valid=valid)
+            # uniform^0.75 == uniform negatives (metapath2vec.go:139-145)
+            negs = jax.random.randint(k5, (shared_negatives,), 0, n)
+            wv, wc, loss = sgns_shared_negs_step(
+                state["vertex"], state["context"], src, pos, negs, alpha,
+                k_equiv=negatives, mask=mask, collision=collision,
+            )
+            return {"vertex": wv, "context": wc}, loss
+
+        return step
+
+    def train(
+        self,
+        walk_times: int = 10,
+        walk_steps: int = 40,
+        window_size: int = 5,
+        negative_samples: int = 5,
+        alpha: float = 0.025,
+        batch_walks: int = 128,
+        steps_per_call: int = 32,
+        shared_negatives: int = 256,
+        collision: str = "sum",
+        verbose: bool = True,
+    ) -> None:
+        if not self.meta_paths:
+            raise ValueError(
+                "no meta-paths defined; call add_meta_path() first"
+            )
+        driver = TrainDriver(
+            self._make_step(batch_walks, walk_steps, window_size,
+                            negative_samples, shared_negatives, collision),
+            ctx=self._make_ctx(),
+            samples_per_step=batch_walks,
+            alpha=alpha,
+            total_samples=walk_times * self.hg.n_vertices,
+            steps_per_call=steps_per_call,
+        )
+        self.state = driver.train(
+            self.state, jax.random.PRNGKey(self.seed), verbose=verbose
+        )
+
+    def save_weights(self, path: str) -> None:
+        save_embeddings(path, self.hg.names, np.asarray(self.state["vertex"]))

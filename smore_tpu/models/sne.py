@@ -1,0 +1,149 @@
+"""SNE: signed network embedding.
+
+Reference: /root/reference/internal/models/sne/sne.go -- dual source/
+target tables; per epoch every positive edge then every negative edge is
+processed samples_per_edge times (:107-150):
+
+  positive edge (u, v): sigmoid CE pull (label 1) + K random vertices
+    pushed (label 0)                                     (:238-277)
+  negative edge (u, v): sigmoid CE push (label 0, weight beta) + K random
+    vertices PULLED (label 1, weight beta)               (:280-318)
+
+Random vertices are uniform over all (SampleVertex :248-250).
+SaveEmbeddings (:321-360): concatenated [source | target] per vertex.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smore_tpu.graph.signed import SignedNetwork
+from smore_tpu.io.embeddings import save_embeddings
+from smore_tpu.models.base import TrainDriver, init_embedding
+from smore_tpu.ops.update import sgns_step
+
+
+class SNE:
+    def __init__(self, net: SignedNetwork, seed: int = 0, beta: float = 1.0,
+                 negative_samples: int = 5):
+        self.net = net
+        self.seed = seed
+        self.beta = beta
+        self.negative_samples = negative_samples
+        self.state = {}
+        self.dim = 0
+
+    @classmethod
+    def load_edge_list(cls, path: str, undirected: bool = True, **kw):
+        return cls(SignedNetwork.load_edge_list(path, undirected), **kw)
+
+    def init(self, dim: int) -> None:
+        self.dim = dim
+        n = self.net.n_vertices
+        k1, k2 = jax.random.split(jax.random.PRNGKey(self.seed))
+        self.state = {
+            "source": init_embedding(k1, n, dim),
+            "target": init_embedding(k2, n, dim),
+        }
+
+    def _make_step(self, batch, collision):
+        net = self.net
+        K = self.negative_samples
+        beta = self.beta
+        n = net.n_vertices
+        pos_edges = (jnp.asarray(net.pos_src), jnp.asarray(net.pos_dst))
+        neg_edges = (jnp.asarray(net.neg_src), jnp.asarray(net.neg_dst))
+        n_pos = max(1, len(net.pos_src))
+        n_neg = len(net.neg_src)
+
+        def step(state, _, key, alpha):
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            ws, wt = state["source"], state["target"]
+
+            # positive edges: standard SGNS (uniform negatives)
+            i = jax.random.randint(k1, (batch,), 0, n_pos)
+            u_p = pos_edges[0].at[i].get(mode="promise_in_bounds")
+            v_p = pos_edges[1].at[i].get(mode="promise_in_bounds")
+            negs = jax.random.randint(k2, (batch, K), 0, n)
+            ws, wt, l1 = sgns_step(
+                ws, wt, u_p, v_p, negs, alpha, collision=collision
+            )
+
+            l2 = jnp.float32(0.0)
+            if n_neg > 0:
+                # negative edges: push endpoints apart (label 0) and pull
+                # random vertices (label 1), both scaled by beta
+                j = jax.random.randint(k3, (batch,), 0, n_neg)
+                u_n = neg_edges[0].at[j].get(mode="promise_in_bounds")
+                v_n = neg_edges[1].at[j].get(mode="promise_in_bounds")
+                rand_v = jax.random.randint(k4, (batch, K), 0, n)
+
+                su = ws.at[u_n].get(mode="promise_in_bounds")
+                tv = wt.at[v_n].get(mode="promise_in_bounds")
+                tr = wt.at[rand_v].get(mode="promise_in_bounds")  # (B,K,D)
+
+                g_edge = (0.0 - jax.nn.sigmoid(
+                    jnp.einsum("bd,bd->b", su, tv))) * (alpha * beta)
+                g_rand = (1.0 - jax.nn.sigmoid(
+                    jnp.einsum("bd,bkd->bk", su, tr))) * (alpha * beta)
+
+                d_su = g_edge[:, None] * tv + jnp.einsum(
+                    "bk,bkd->bd", g_rand, tr
+                )
+                d_tv = g_edge[:, None] * su
+                d_tr = g_rand[:, :, None] * su[:, None, :]
+
+                from smore_tpu.ops.update import scatter_apply
+
+                B, Kk, D = d_tr.shape
+                wt = scatter_apply(
+                    wt,
+                    [
+                        (v_n, d_tv),
+                        (rand_v.reshape(-1), d_tr.reshape(B * Kk, D)),
+                    ],
+                    collision,
+                )
+                ws = scatter_apply(ws, [(u_n, d_su)], collision)
+                l2 = -jnp.mean(jnp.log(1.0 - jax.nn.sigmoid(
+                    jnp.einsum("bd,bd->b", su, tv)) + 1e-7))
+
+            return {"source": ws, "target": wt}, l1 + l2
+
+        return step
+
+    def train(
+        self,
+        epochs: int = 10,
+        samples_per_edge: int = 1,
+        alpha: float = 0.025,
+        batch: int = 4096,
+        steps_per_call: int = 32,
+        collision: str = "sum",
+        verbose: bool = True,
+    ) -> None:
+        total = (
+            epochs
+            * samples_per_edge
+            * (len(self.net.pos_src) + len(self.net.neg_src))
+        )
+        driver = TrainDriver(
+            self._make_step(batch, collision),
+            ctx=(),
+            samples_per_step=batch * 2,  # one pos + one neg edge per slot
+            alpha=alpha,
+            total_samples=max(total, 1),
+            steps_per_call=steps_per_call,
+        )
+        self.state = driver.train(
+            self.state, jax.random.PRNGKey(self.seed), verbose=verbose
+        )
+
+    def save_weights(self, path: str) -> None:
+        out = np.concatenate(
+            [np.asarray(self.state["source"]), np.asarray(self.state["target"])],
+            axis=1,
+        )
+        save_embeddings(path, self.net.names, out)

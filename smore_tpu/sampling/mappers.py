@@ -32,6 +32,8 @@ def skipgram_pairs(
     key: jax.Array,
     window: int,
     row_mask: jnp.ndarray = None,  # (B,) float32
+    valid: jnp.ndarray = None,  # (B, L) per-position validity (truncated
+    # walks, e.g. temporal ones) -- a pair needs BOTH endpoints valid
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """proNet::SkipGrams (proNet.cpp:769-809): per-center shrunken window
     reduce ~ U{1..window}; pairs (walk[i], walk[i+o]) for 0 < |o| <=
@@ -48,6 +50,12 @@ def skipgram_pairs(
     mask = (in_bounds & within).astype(jnp.float32)
     if row_mask is not None:
         mask = mask * row_mask[:, None, None]
+    if valid is not None:
+        jv = jnp.broadcast_to(jnp.clip(j, 0, L - 1), (B, L, offs.shape[0]))
+        ctx_valid = jnp.take_along_axis(
+            valid, jv.reshape(B, -1), axis=1
+        ).reshape(B, L, -1)
+        mask = mask * valid[:, :, None] * ctx_valid
 
     jc = jnp.broadcast_to(jnp.clip(j, 0, L - 1), (B, L, offs.shape[0]))
     ctx = jnp.take_along_axis(walk, jc.reshape(B, -1).astype(jnp.int32), axis=1)
