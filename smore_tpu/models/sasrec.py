@@ -1,0 +1,298 @@
+"""SASRec family: self-attentive sequential recommendation.
+
+Reference: /root/reference/internal/models/{sasrec,gsasrec,recdenoiser}/.
+Shared architecture (sasrec.go:96-492): item embedding + SINUSOIDAL
+positions (:112-133), num_blocks of pre-LN causal MHA + 4x FFN with
+residuals and dropout; sequences = each user's neighbor list in edge
+order (:82-93); defaults dim=64, max_seq_len=50, blocks=2, heads=1,
+dropout=0.2, epochs=10, batch=128, alpha=0.001 (cmd/sasrec/main.go).
+
+Variants:
+  - gSASRec (gsasrec.go:256-275): gBCE loss -- positive CE weighted by
+    beta, negative CE by (1-beta).
+  - Rec-Denoiser (recdenoiser.go:174-247,317-332): per-block trainable
+    L x L attention-mask logits sampled via Gumbel-sigmoid, multiplied
+    into the attention weights, with an L1 sparsity penalty.
+
+Upgrade over the reference (SURVEY.md 3.4): the Go code initializes the
+transformer but only ever trains the item embeddings (forward-only
+attention); here the WHOLE model trains by real autodiff (flax + optax
+Adam), while keeping the reference's sequence construction, loss
+structure, and save format (item rows, standard text dump).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from smore_tpu.graph.graph import Graph
+from smore_tpu.io.embeddings import save_embeddings
+
+
+def sinusoidal_positions(max_len: int, dim: int) -> np.ndarray:
+    """sasrec.go:121-133 exactly (even dims sin, odd dims cos)."""
+    pos = np.arange(max_len)[:, None].astype(np.float64)
+    d = np.arange(dim)[None, :]
+    div = np.power(10000.0, (d - (d % 2)) / dim)
+    ang = pos / div
+    out = np.where(d % 2 == 0, np.sin(ang), np.cos(ang))
+    return out.astype(np.float32)
+
+
+class _Block(nn.Module):
+    dim: int
+    heads: int
+    dropout: float
+    max_len: int
+    denoise: bool = False
+    mask_temp: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, pad_mask, *, train: bool):
+        B, L, D = x.shape
+        causal = jnp.tril(jnp.ones((L, L), dtype=bool))
+        bias = jnp.where(causal, 0.0, -1e9)[None, None, :, :]
+
+        h = nn.LayerNorm()(x)
+        q = nn.DenseGeneral((self.heads, D // self.heads), name="q")(h)
+        k = nn.DenseGeneral((self.heads, D // self.heads), name="k")(h)
+        v = nn.DenseGeneral((self.heads, D // self.heads), name="v")(h)
+        logits = jnp.einsum("blhd,bmhd->bhlm", q, k) / np.sqrt(D // self.heads)
+        logits = logits + bias
+        logits = logits + jnp.where(
+            pad_mask[:, None, None, :], 0.0, -1e9
+        )
+        w = jax.nn.softmax(logits, axis=-1)
+
+        if self.denoise:
+            # Rec-Denoiser: trainable mask logits, Gumbel-sigmoid sampled
+            # during training, hard sigmoid at eval (recdenoiser.go:174-247)
+            mlog = self.param(
+                "mask_logits",
+                nn.initializers.constant(2.0),  # start ~open (sigmoid~0.88)
+                (self.max_len, self.max_len),
+            )
+            ml = mlog[:L, :L]
+            if train:
+                rng = self.make_rng("gumbel")
+                u = jax.random.uniform(rng, (2,) + ml.shape, minval=1e-6,
+                                       maxval=1.0 - 1e-6)
+                g = -jnp.log(-jnp.log(u))
+                y = (ml + g[0] - g[1]) / self.mask_temp
+                mask = jax.nn.sigmoid(y)
+            else:
+                mask = jax.nn.sigmoid(ml / self.mask_temp)
+            w = w * mask[None, None, :, :]
+            self.sow("intermediates", "attn_mask", mask)
+
+        w = nn.Dropout(self.dropout, deterministic=not train)(w)
+        attn = jnp.einsum("bhlm,bmhd->blhd", w, v)
+        attn = nn.DenseGeneral(D, axis=(-2, -1), name="o")(attn)
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(attn)
+
+        h = nn.LayerNorm()(x)
+        f = nn.Dense(4 * D)(h)
+        f = nn.relu(f)
+        f = nn.Dense(D)(f)
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(f)
+        return x
+
+
+class SASRecNet(nn.Module):
+    num_items: int  # real items; id num_items = padding
+    dim: int
+    max_len: int
+    blocks: int = 2
+    heads: int = 1
+    dropout: float = 0.2
+    denoise: bool = False
+    mask_temp: float = 1.0
+
+    @nn.compact
+    def __call__(self, seq, *, train: bool):
+        """seq (B, L) int32 with pad id == num_items. Returns hidden
+        states (B, L, D) after the final LayerNorm."""
+        emb = nn.Embed(
+            self.num_items + 1, self.dim,
+            embedding_init=nn.initializers.normal(0.5 / self.dim),
+            name="item",
+        )
+        pad_mask = seq != self.num_items
+        x = emb(seq) * pad_mask[..., None]
+        x = x + jnp.asarray(sinusoidal_positions(self.max_len, self.dim))[
+            None, : seq.shape[1]
+        ]
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        for b in range(self.blocks):
+            x = _Block(
+                self.dim, self.heads, self.dropout, self.max_len,
+                denoise=self.denoise, mask_temp=self.mask_temp,
+                name=f"block{b}",
+            )(x, pad_mask, train=train)
+        x = nn.LayerNorm(name="final_ln")(x)
+        return x * pad_mask[..., None]
+
+    def item_table(self, params):
+        return params["params"]["item"]["embedding"]
+
+
+class SASRec:
+    """loss='bce' (SASRec) | 'gbce' (gSASRec); denoise=True (Rec-Denoiser)."""
+
+    loss = "bce"
+    denoise = False
+
+    def __init__(self, graph: Graph, seed: int = 0, beta: float = 0.5,
+                 lambda_sparsity: float = 0.01):
+        self.graph = graph
+        self.seed = seed
+        self.beta = beta
+        self.lambda_sparsity = lambda_sparsity
+        self.net: Optional[SASRecNet] = None
+        self.params = None
+        self.dim = 0
+        self.max_len = 50
+
+    @classmethod
+    def load_edge_list(cls, path: str, **kw):
+        # user-item interactions; direction matters (user -> item order)
+        return cls(Graph.load_edge_list(path, undirected=False), **kw)
+
+    def build_sequences(self) -> np.ndarray:
+        """sasrec.go BuildSequencesFromGraph: each vertex's out-neighbor
+        list in edge (file) order IS its sequence; keep the last
+        max_len + 1 items; pad id = n_vertices."""
+        g = self.graph
+        L = self.max_len + 1
+        pad = g.n_vertices
+        seqs = []
+        for u in range(g.n_vertices):
+            nb = g.neighbors(u)
+            if len(nb) < 2:
+                continue
+            s = nb[-L:]
+            seqs.append(
+                np.concatenate(
+                    [np.full(L - len(s), pad, dtype=np.int64), s]
+                )
+            )
+        if not seqs:
+            raise ValueError("no user has >= 2 interactions")
+        return np.stack(seqs).astype(np.int32)
+
+    def init(self, dim: int, max_seq_len: int = 50, num_blocks: int = 2,
+             num_heads: int = 1, dropout: float = 0.2) -> None:
+        self.dim = dim
+        self.max_len = max_seq_len
+        self.net = SASRecNet(
+            num_items=self.graph.n_vertices,
+            dim=dim,
+            max_len=max_seq_len,
+            blocks=num_blocks,
+            heads=num_heads,
+            dropout=dropout,
+            denoise=self.denoise,
+        )
+        k = jax.random.PRNGKey(self.seed)
+        dummy = jnp.full((1, max_seq_len), self.graph.n_vertices, jnp.int32)
+        self.params = self.net.init(
+            {"params": k, "dropout": k, "gumbel": k}, dummy, train=False
+        )
+
+    def _loss_fn(self, params, batch, key):
+        net = self.net
+        n = self.graph.n_vertices
+        seq, pos = batch[:, :-1], batch[:, 1:]
+        kd, kg, kn = jax.random.split(key, 3)
+        h = net.apply(
+            params, seq, train=True, rngs={"dropout": kd, "gumbel": kg}
+        )  # (B, L, D)
+        table = net.item_table(params)  # (n+1, D)
+        valid = (pos != n) & (seq != n)
+        negs = jax.random.randint(kn, pos.shape, 0, n)
+
+        s_pos = jnp.einsum(
+            "bld,bld->bl", h, table.at[pos].get(mode="promise_in_bounds")
+        )
+        s_neg = jnp.einsum(
+            "bld,bld->bl", h, table.at[negs].get(mode="promise_in_bounds")
+        )
+        if self.loss == "gbce":
+            b = self.beta
+            ce = -b * jax.nn.log_sigmoid(s_pos) - (1.0 - b) * jax.nn.log_sigmoid(
+                -s_neg
+            )
+        else:
+            ce = -jax.nn.log_sigmoid(s_pos) - jax.nn.log_sigmoid(-s_neg)
+        loss = jnp.sum(ce * valid) / jnp.maximum(valid.sum(), 1)
+
+        if self.denoise:
+            # L1 sparsity on the sampled masks (recdenoiser.go:317-332)
+            l1 = sum(
+                jnp.abs(jax.nn.sigmoid(p["mask_logits"])).mean()
+                for k_, p in params["params"].items()
+                if k_.startswith("block") and "mask_logits" in p
+            )
+            loss = loss + self.lambda_sparsity * l1
+        return loss
+
+    def train(self, epochs: int = 10, batch_size: int = 128,
+              alpha: float = 0.001, verbose: bool = True) -> None:
+        seqs = self.build_sequences()
+        n_seq = len(seqs)
+        tx = optax.adam(alpha)
+        opt_state = tx.init(self.params)
+        params = self.params
+
+        @jax.jit
+        def step(params, opt_state, batch, key):
+            loss, grads = jax.value_and_grad(self._loss_fn)(params, batch, key)
+            updates, opt_state = tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        key = jax.random.PRNGKey(self.seed + 7)
+        bs = min(batch_size, n_seq)
+        n_batches = max(1, n_seq // bs)
+        seqs_d = jnp.asarray(seqs)
+        for ep in range(epochs):
+            key, kp = jax.random.split(key)
+            perm = jax.random.permutation(kp, n_seq)[: n_batches * bs]
+            perm = perm.reshape(n_batches, bs)
+            for b in range(n_batches):
+                key, ks = jax.random.split(key)
+                batch = seqs_d.at[perm[b]].get(mode="promise_in_bounds")
+                params, opt_state, loss = step(params, opt_state, batch, ks)
+            if verbose:
+                print(f"\tepoch {ep + 1}/{epochs} loss={float(loss):.5f}",
+                      end="\r", flush=True)
+        if verbose:
+            print()
+        self.params = params
+
+    # -- inference ------------------------------------------------------ #
+    def hidden_states(self, seqs: np.ndarray) -> jnp.ndarray:
+        return self.net.apply(self.params, jnp.asarray(seqs), train=False)
+
+    def score_next(self, seqs: np.ndarray) -> jnp.ndarray:
+        """Scores over all items for each sequence's next step."""
+        h = self.hidden_states(seqs)[:, -1]  # (B, D)
+        table = self.net.item_table(self.params)[:-1]  # drop pad row
+        return h @ table.T
+
+    def save_weights(self, path: str) -> None:
+        table = np.asarray(self.net.item_table(self.params))[:-1]
+        save_embeddings(path, self.graph.names, table)
+
+
+class GSASRec(SASRec):
+    loss = "gbce"
+
+
+class RecDenoiser(SASRec):
+    denoise = True

@@ -1,0 +1,72 @@
+"""SASRec family: full-autodiff transformers must learn a deterministic
+next-item pattern."""
+
+import numpy as np
+import pytest
+
+from smore_tpu.graph.graph import Graph
+from smore_tpu.models.sasrec import GSASRec, RecDenoiser, SASRec
+
+
+N_ITEMS = 12
+
+
+@pytest.fixture(scope="module")
+def seq_graph():
+    """Users consume items in cyclic order i, i+1, i+2, ... (mod 12):
+    the next item is fully determined by the previous one."""
+    rng = np.random.default_rng(4)
+    edges = []
+    for u in range(40):
+        start = rng.integers(0, N_ITEMS)
+        ln = rng.integers(6, 12)
+        for t in range(ln):
+            edges.append((f"u{u}", f"i{(start + t) % N_ITEMS}", 1.0))
+    return Graph.from_edges(edges, undirected=False)
+
+
+def _next_item_rank(m, g):
+    """Mean rank of the true next item among all vertices."""
+    pad = g.n_vertices
+    L = m.max_len
+    ranks = []
+    for s in range(N_ITEMS):
+        ctx = [g.name2id[f"i{(s + t) % N_ITEMS}"] for t in range(4)]
+        want = g.name2id[f"i{(s + 4) % N_ITEMS}"]
+        seq = np.full((1, L), pad, dtype=np.int32)
+        seq[0, -4:] = ctx
+        scores = np.asarray(m.score_next(seq))[0]
+        ranks.append(int((scores > scores[want]).sum()))
+    return np.mean(ranks)
+
+
+@pytest.mark.parametrize("cls", [SASRec, GSASRec, RecDenoiser])
+def test_sasrec_family_learns_next_item(seq_graph, cls):
+    m = cls(seq_graph, seed=0)
+    m.init(dim=32, max_seq_len=12, num_blocks=1, num_heads=1, dropout=0.1)
+    m.train(epochs=60, batch_size=32, alpha=0.005, verbose=False)
+    # true next item should rank near the top among 52 vertices
+    assert _next_item_rank(m, seq_graph) < 6.0
+
+
+def test_sasrec_save(seq_graph, tmp_path):
+    m = SASRec(seq_graph, seed=0)
+    m.init(dim=16, max_seq_len=8, num_blocks=1)
+    m.train(epochs=2, batch_size=16, alpha=0.005, verbose=False)
+    out = tmp_path / "sasrec.txt"
+    m.save_weights(str(out))
+    assert out.read_text().split("\n")[0] == f"{seq_graph.n_vertices} 16"
+
+
+def test_sequences_from_graph(seq_graph):
+    m = SASRec(seq_graph, seed=0)
+    m.max_len = 8
+    seqs = m.build_sequences()
+    pad = seq_graph.n_vertices
+    assert seqs.shape[1] == 9
+    # every non-pad transition follows the cycle
+    names = seq_graph.names
+    for row in seqs[:10]:
+        items = [names[i] for i in row if i != pad]
+        for a, b in zip(items, items[1:]):
+            assert (int(a[1:]) + 1) % N_ITEMS == int(b[1:])
