@@ -192,3 +192,22 @@ def test_fastrp_two_blocks(tmp_path):
             s = wv[g.name2id[f"n{i}"]] @ wv[g.name2id[f"n{j}"]]
             (intra if (i < 10) == (j < 10) else cross).append(s)
     assert np.mean(intra) > np.mean(cross) + 0.1
+
+
+# -------------------------------- HAN ---------------------------------- #
+def test_han_trains(hetero_path, tmp_path):
+    from smore_tpu.models.han import HAN
+
+    m = HAN.load_edge_list(hetero_path, seed=0)
+    m.add_meta_path(["author", "paper", "author"])
+    m.add_meta_path(["author", "paper", "venue", "paper", "author"])
+    m.init(dim=16, learning_rate=0.05)
+    m.train(walk_times=3, walk_steps=4, epochs=3, batch=16, verbose=False)
+    wv = np.asarray(m.state["embed"])
+    assert np.isfinite(wv).all()
+    # updated rows are unit-norm (heuristic renormalization)
+    norms = np.linalg.norm(wv, axis=1)
+    assert (np.abs(norms - 1.0) < 1e-4).sum() > m.hg.n_vertices // 2
+    out = tmp_path / "han.txt"
+    m.save_weights(str(out))
+    assert out.read_text().split("\n")[0] == f"{m.hg.n_vertices} 16"
