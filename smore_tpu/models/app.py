@@ -37,6 +37,7 @@ class APP(WalkSGNSBase):
         steps_per_call: int = 64,
         shared_negatives: int = 128,
         collision: str = "sum",
+        mesh=None,
         verbose: bool = True,
     ) -> None:
         self.jump = jump
@@ -49,4 +50,5 @@ class APP(WalkSGNSBase):
             shared_negatives=shared_negatives,
             collision=collision,
             verbose=verbose,
+            mesh=mesh,
         )

@@ -74,18 +74,67 @@ class TrainDriver:
         total_samples: int,
         steps_per_call: int = 256,
         monitor: bool = True,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with axis "d". When given,
+        the call runs data-parallel via shard_map: each device draws an
+        INDEPENDENT sample stream from its own PRNG key (the multi-chip
+        analog of the reference's per-thread RNG,
+        /root/reference/src/random.cpp:5-13) against replicated tables;
+        per-device state deltas are psum-merged each step (sum over
+        devices == collision="sum" over the combined batch). Effective
+        samples per step = samples_per_step * n_devices."""
         self.step_fn = step_fn
         self.ctx = ctx
-        self.samples_per_step = samples_per_step
+        self.mesh = mesh
+        self.n_shards = 1 if mesh is None else mesh.devices.size
+        self.samples_per_step = samples_per_step * self.n_shards
         self.alpha = float(alpha)
         self.total_samples = int(total_samples)
         self.steps_per_call = int(steps_per_call)
         self.monitor = monitor
 
+    def _wrap_dp(self, step_fn: StepFn) -> StepFn:
+        """Data-parallel step: shard_map over per-device keys."""
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        mesh = self.mesh
+
+        def dp_step(state, ctx, keys, alpha):
+            # keys: (n_dev,) key array, one per device
+            def shard_fn(state, ctx, key, alpha):
+                key = key[0]  # unwrap this shard's singleton leading dim
+                new_state, loss = step_fn(state, ctx, key, alpha)
+                delta = jax.tree.map(lambda n, o: n - o, new_state, state)
+                delta = jax.lax.psum(delta, "d")
+                state = jax.tree.map(lambda o, d: o + d, state, delta)
+                return state, jax.lax.pmean(loss, "d")
+
+            kw = dict(
+                mesh=mesh,
+                in_specs=(P(), P(), P("d"), P()),
+                out_specs=(P(), P()),
+            )
+            try:  # jax >= 0.8 renamed check_rep -> check_vma
+                f = shard_map(shard_fn, check_vma=False, **kw)
+            except TypeError:  # pragma: no cover
+                f = shard_map(shard_fn, check_rep=False, **kw)
+            return f(state, ctx, keys, alpha)
+
+        return dp_step
+
     def _make_call(self):
         step_fn = self.step_fn
+        use_dp = self.mesh is not None
+        if use_dp:
+            step_fn = self._wrap_dp(step_fn)
         S = self.steps_per_call
+        n_shards = self.n_shards
 
         # Schedule parameters (alpha0, alpha_min, progress scale) are traced
         # scalars, NOT baked-in constants: one compiled executable serves
@@ -98,6 +147,8 @@ class TrainDriver:
                 key, sub = jax.random.split(key)
                 progress = (step0 + i) * inv_total
                 alpha = jnp.maximum(alpha0 * (1.0 - progress), alpha_min)
+                if use_dp:  # one key per device, even on a 1-device mesh
+                    sub = jax.random.split(sub, n_shards)
                 state, loss = step_fn(state, ctx, sub, alpha.astype(jnp.float32))
                 return (state, key), loss
 

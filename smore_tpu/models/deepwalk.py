@@ -41,6 +41,7 @@ class DeepWalk(WalkSGNSBase):
         steps_per_call: int = 64,
         shared_negatives: int = 256,
         collision: str = "sum",
+        mesh=None,
         verbose: bool = True,
     ) -> None:
         self.walk_steps = walk_steps
@@ -54,4 +55,5 @@ class DeepWalk(WalkSGNSBase):
             shared_negatives=shared_negatives,
             collision=collision,
             verbose=verbose,
+            mesh=mesh,
         )

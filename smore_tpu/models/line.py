@@ -117,6 +117,7 @@ class LINE(PairModelBase):
         steps_per_call: int = 128,
         collision: str = "sum",
         shared_negatives: int = 128,
+        mesh=None,
         verbose: bool = True,
     ) -> None:
         total = int(sample_times * 1_000_000)
@@ -129,6 +130,7 @@ class LINE(PairModelBase):
             alpha=alpha,
             total_samples=total,
             steps_per_call=steps_per_call,
+            mesh=mesh,
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)
 

@@ -54,6 +54,7 @@ class Node2Vec(WalkSGNSBase):
         steps_per_call: int = 64,
         shared_negatives: int = 256,
         collision: str = "sum",
+        mesh=None,
         verbose: bool = True,
     ) -> None:
         self.p, self.q = p, q
@@ -68,4 +69,5 @@ class Node2Vec(WalkSGNSBase):
             shared_negatives=shared_negatives,
             collision=collision,
             verbose=verbose,
+            mesh=mesh,
         )

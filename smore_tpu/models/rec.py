@@ -60,6 +60,7 @@ class _SharedTableRec(PairModelBase):
         batch: int = 8192,
         steps_per_call: int = 128,
         collision: str = "sum",
+        mesh=None,
         verbose: bool = True,
         **kw,
     ) -> None:
@@ -74,6 +75,7 @@ class _SharedTableRec(PairModelBase):
             alpha=alpha,
             total_samples=int(sample_times * 1_000_000),
             steps_per_call=steps_per_call,
+            mesh=mesh,
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)
 

@@ -81,6 +81,7 @@ class WalkSGNSBase(PairModelBase):
         shared_negatives: int,
         collision: str,
         verbose: bool,
+        mesh=None,
     ) -> None:
         driver = TrainDriver(
             self._make_step(
@@ -91,5 +92,6 @@ class WalkSGNSBase(PairModelBase):
             alpha=alpha,
             total_samples=total_walks,
             steps_per_call=steps_per_call,
+            mesh=mesh,
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)

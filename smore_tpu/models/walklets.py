@@ -40,6 +40,7 @@ class Walklets(WalkSGNSBase):
         steps_per_call: int = 64,
         shared_negatives: int = 256,
         collision: str = "sum",
+        mesh=None,
         verbose: bool = True,
     ) -> None:
         self.walk_steps = walk_steps
@@ -54,4 +55,5 @@ class Walklets(WalkSGNSBase):
             shared_negatives=shared_negatives,
             collision=collision,
             verbose=verbose,
+            mesh=mesh,
         )

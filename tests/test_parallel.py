@@ -1,0 +1,79 @@
+"""Multi-device data-parallel training on the virtual 8-device CPU mesh
+(conftest sets xla_force_host_platform_device_count=8)."""
+
+import jax
+import numpy as np
+import pytest
+
+from smore_tpu.graph.graph import Graph
+from smore_tpu.models.deepwalk import DeepWalk
+from smore_tpu.models.line import LINE
+from smore_tpu.parallel.mesh import make_mesh
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def comm_graph():
+    rng = np.random.default_rng(7)
+    edges = []
+    for base in (0, 12):
+        for i in range(12):
+            for j in range(i + 1, 12):
+                if rng.random() < 0.6:
+                    edges.append((f"v{base + i}", f"v{base + j}", 1.0))
+    edges.append(("v0", "v12", 1.0))
+    return Graph.from_edges(edges, undirected=True)
+
+
+def _sep(m, g):
+    wv = np.asarray(m.state["vertex"])
+    wv = wv / (np.linalg.norm(wv, axis=1, keepdims=True) + 1e-9)
+    intra, cross = [], []
+    for a in range(0, 24, 3):
+        for b in range(1, 24, 3):
+            s = wv[g.name2id[f"v{a}"]] @ wv[g.name2id[f"v{b}"]]
+            (intra if (a < 12) == (b < 12) else cross).append(s)
+    return np.mean(intra) - np.mean(cross)
+
+
+def test_line_dp_trains(comm_graph):
+    mesh = make_mesh(min(8, len(jax.devices())))
+    m = LINE(comm_graph, seed=0)
+    m.init(dim=16, order=2)
+    m.train(sample_times=0.05, negative_samples=5, alpha=0.02, batch=64,
+            steps_per_call=8, collision="mean", mesh=mesh, verbose=False)
+    wv = np.asarray(m.state["vertex"])
+    assert np.isfinite(wv).all()
+    # replicated tables must agree across devices (single logical array)
+    assert m.state["vertex"].shape == (24, 16)
+
+
+def test_deepwalk_dp_learns_communities(comm_graph):
+    mesh = make_mesh(min(8, len(jax.devices())))
+    m = DeepWalk(comm_graph, seed=0)
+    m.init(dim=16)
+    m.train(walk_times=100, walk_steps=10, window_size=3,
+            negative_samples=5, alpha=0.01, batch_walks=8,
+            steps_per_call=8, collision="sum", mesh=mesh, verbose=False)
+    assert _sep(m, comm_graph) > 0.2
+
+
+def test_dp_streams_are_independent(comm_graph):
+    """Each device must draw a DIFFERENT sample stream: with 8 devices
+    the per-step sample count is 8x, so at equal wall steps the DP run
+    must make more progress than a 1-device run (proxy: embeddings
+    differ from the single-device result)."""
+    mesh = make_mesh(min(8, len(jax.devices())))
+    runs = []
+    for m_ in (None, mesh):
+        m = LINE(comm_graph, seed=0)
+        m.init(dim=16, order=2)
+        m.train(sample_times=0.02, negative_samples=3, alpha=0.02,
+                batch=64, steps_per_call=4, collision="mean", mesh=m_,
+                verbose=False)
+        runs.append(np.asarray(m.state["vertex"]))
+    assert not np.allclose(runs[0], runs[1])
