@@ -260,6 +260,25 @@ def _field_model(name, cls_name, needs_field=True):
 
 _REGISTRY["gcn"] = _field_model("gcn", "GCN")
 _REGISTRY["textgcn"] = _field_model("textgcn", "TEXTGCN")
+
+
+@_cmd("textgcndev")
+def _textgcndev(argv):
+    p = _base_parser("textgcndev")
+    p.add_argument("-field", required=True)
+    p.add_argument("-num_events", type=int, default=5)
+    p.add_argument("-num_words", type=int, default=5)
+    p.add_argument("-reg", type=float, default=0.01)
+    a = p.parse_args(argv)
+    from smore_tpu.models import TEXTGCNdev
+
+    m = TEXTGCNdev.load_edge_list(a.train, undirected=bool(a.undirected))
+    m.graph.load_field_meta(a.field)
+    m.init(dim=a.dimensions)
+    m.train(sample_times=a.sample_times, num_events=a.num_events,
+            num_words=a.num_words, negative_samples=a.negative_samples,
+            reg=a.reg, alpha=a.alpha)
+    m.save_weights(a.save)
 _REGISTRY["fine"] = _field_model("fine", "FINE")
 _REGISTRY["msfine"] = _field_model("msfine", "MSFINE")
 _REGISTRY["nemf"] = _field_model("nemf", "NEMF")

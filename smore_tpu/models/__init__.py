@@ -14,7 +14,7 @@ from smore_tpu.models.deepwalk import DeepWalk
 from smore_tpu.models.eco import ECO
 from smore_tpu.models.fastrp import FastRP
 from smore_tpu.models.fine import FINE, MSFINE
-from smore_tpu.models.gcn import GCN, TEXTGCN
+from smore_tpu.models.gcn import GCN, TEXTGCN, TEXTGCNdev
 from smore_tpu.models.han import HAN
 from smore_tpu.models.hoprec import HOPREC
 from smore_tpu.models.hpe import HPE, PE
@@ -32,6 +32,6 @@ __all__ = [
     "APP", "BPR", "CPR", "CTDNE", "ComplEx", "DeepWalk", "ECO", "FINE",
     "FastRP", "GCN", "GSASRec", "HAN", "HOPREC", "HPE", "JODIE", "LINE",
     "MF", "MSFINE", "Metapath2Vec", "NEMF", "NERANK", "Node2Vec", "PE",
-    "RecDenoiser", "RotatE", "SASRec", "SNE", "SkewOPT", "TEXTGCN", "TPR",
-    "TransE", "WARP", "Walklets",
+    "RecDenoiser", "RotatE", "SASRec", "SNE", "SkewOPT", "TEXTGCN",
+    "TEXTGCNdev", "TPR", "TransE", "WARP", "Walklets",
 ]

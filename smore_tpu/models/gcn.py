@@ -169,3 +169,164 @@ class TEXTGCN(GCN):
             else:
                 rows.append(wv[vid])
         save_embeddings(path, names, np.asarray(rows, dtype=np.float32))
+
+
+class TEXTGCNdev(GCN):
+    """Event/word CBOW variant (TEXTGCNdev).
+
+    Reference: /root/reference/src/model/TEXTGCNdev.cpp with kernel
+    proNet::UpdateCBOWdev (proNet.cpp:2755-2866). Fields: 0=user,
+    1=event, 2=word. Per field-0 user:
+      - bags = num_events x num_words word draws (2 hops: user->event->
+        word); w_avg = SUM of w_context[word] rows
+      - the LAST sampled event is paired (num_events times -- reference
+        quirk preserved) with (a) w_avg and (b) the user row, sigmoid-CE
+        label 1 with reg; negatives are field-1 events vs both
+      - event rows update in place (w_vertex); the accumulated w_avg-side
+        error lands on every bag word (w_context); the user row gets the
+        user-side error
+    SaveWeights (TEXTGCNdev.cpp:6-30): users from w_vertex, words from
+    w_context, events skipped; header counts only written rows.
+    """
+
+    def __init__(self, graph, seed: int = 0):
+        super().__init__(graph, seed)
+        self.num_events = 5
+        self.num_words = 5
+
+    def _make_step(self, batch, negatives, collision):
+        E = self.num_events
+        Wn = self.num_words
+        reg = self.reg
+        has_fields = self.graph.n_fields > 1
+        nf = 1 if has_fields else 0
+
+        def step(state, ctx, key, alpha):
+            tables, src_t, neg_t = ctx
+            k1, k2, k3 = jax.random.split(key, 3)
+            zeros = jnp.zeros((batch,), dtype=jnp.int32)
+            user = src_t.negative_field_sample(k1, zeros)
+
+            u = jax.random.uniform(k2, (batch, E * (1 + Wn), 2))
+            events, words = [], []
+            for e in range(E):
+                ev = tables.target_sample(None, user, u2=u[:, e * (1 + Wn)])
+                events.append(ev)
+                for w in range(Wn):
+                    words.append(
+                        tables.target_sample(
+                            None, ev, u2=u[:, e * (1 + Wn) + 1 + w]
+                        )
+                    )
+            bags = jnp.stack(words, axis=1)  # (B, E*Wn)
+            last_ev = events[-1]
+
+            wv, wc = state["vertex"], state["context"]
+            w_avg = jnp.sum(
+                wc.at[bags].get(mode="promise_in_bounds"), axis=1
+            )  # (B, D)
+            ev_row = wv.at[last_ev].get(mode="promise_in_bounds")
+            u_row = wv.at[user].get(mode="promise_in_bounds")
+
+            # positive (event, w_avg) and (event, user), repeated E times
+            g1 = 1.0 - jax.nn.sigmoid(jnp.einsum("bd,bd->b", ev_row, w_avg))
+            g2 = 1.0 - jax.nn.sigmoid(jnp.einsum("bd,bd->b", ev_row, u_row))
+            d_ev = alpha * E * (
+                g1[:, None] * w_avg + g2[:, None] * u_row - 2 * reg * ev_row
+            )
+            back_err = alpha * E * (g1[:, None] * ev_row - reg * w_avg)
+            user_err = alpha * E * (g2[:, None] * ev_row - reg * u_row)
+
+            # negatives: field-1 events vs w_avg and vs user
+            negs = neg_t.negative_field_sample(
+                k3, jnp.full((batch, negatives, 2), nf, dtype=jnp.int32)
+            )
+            nv = wv.at[negs].get(mode="promise_in_bounds")  # (B,K,2,D)
+            gn1 = -jax.nn.sigmoid(jnp.einsum("bkd,bd->bk", nv[:, :, 0], w_avg))
+            gn2 = -jax.nn.sigmoid(jnp.einsum("bkd,bd->bk", nv[:, :, 1], u_row))
+            d_n1 = alpha * E * (
+                gn1[..., None] * w_avg[:, None] - reg * nv[:, :, 0]
+            )
+            d_n2 = alpha * E * (
+                gn2[..., None] * u_row[:, None] - reg * nv[:, :, 1]
+            )
+            back_err = back_err + alpha * E * jnp.einsum(
+                "bk,bkd->bd", gn1, nv[:, :, 0]
+            )
+            user_err = user_err + alpha * E * jnp.einsum(
+                "bk,bkd->bd", gn2, nv[:, :, 1]
+            )
+
+            from smore_tpu.ops.update import scatter_apply
+
+            B = batch
+            K = negatives
+            D = w_avg.shape[1]
+            wv = scatter_apply(
+                wv,
+                [
+                    (last_ev, d_ev),
+                    (user, user_err),
+                    (negs[:, :, 0].reshape(-1), d_n1.reshape(B * K, D)),
+                    (negs[:, :, 1].reshape(-1), d_n2.reshape(B * K, D)),
+                ],
+                collision,
+            )
+            S = bags.shape[1]
+            wc = scatter_apply(
+                wc,
+                [(bags.reshape(-1),
+                  jnp.broadcast_to(back_err[:, None], (B, S, D)).reshape(B * S, D))],
+                collision,
+            )
+            eps = 1e-7
+            loss = -jnp.log(
+                jax.nn.sigmoid(jnp.einsum("bd,bd->b", ev_row, w_avg)) + eps
+            ).mean()
+            return {"vertex": wv, "context": wc}, loss
+
+        return step
+
+    def train(
+        self,
+        sample_times: int = 10,
+        num_events: int = 5,
+        num_words: int = 5,
+        negative_samples: int = 5,
+        reg: float = 0.01,
+        alpha: float = 0.025,
+        batch: int = 2048,
+        steps_per_call: int = 64,
+        collision: str = "sum",
+        verbose: bool = True,
+    ) -> None:
+        self.num_events = num_events
+        self.num_words = num_words
+        self.reg = reg
+        from smore_tpu.models.base import TrainDriver
+
+        driver = TrainDriver(
+            self._make_step(batch, negative_samples, collision),
+            ctx=self._make_ctx(),
+            samples_per_step=batch,
+            alpha=alpha,
+            total_samples=int(sample_times * 1_000_000),
+            steps_per_call=steps_per_call,
+        )
+        self.state = driver.train(self.state, self._key(), verbose=verbose)
+
+    def save_weights(self, path: str, table: str = "vertex") -> None:
+        g = self.graph
+        wv = np.asarray(self.state["vertex"])
+        wc = np.asarray(self.state["context"])
+        fields = (
+            g.fields if g.fields is not None else np.zeros(g.n_vertices, int)
+        )
+        names, rows = [], []
+        for vid, nm in enumerate(g.names):
+            f = int(fields[vid])
+            if f == 1:
+                continue
+            names.append(nm)
+            rows.append(wv[vid] if f == 0 else wc[vid])
+        save_embeddings(path, names, np.asarray(rows, dtype=np.float32))

@@ -9,7 +9,7 @@ from smore_tpu.cli.main import _REGISTRY, main
 
 EXPECTED = {
     "deepwalk", "walklets", "line", "hpe", "app", "mf", "bpr", "warp",
-    "hoprec", "nemf", "nerank", "skewopt", "eco", "gcn", "textgcn",
+    "hoprec", "nemf", "nerank", "skewopt", "eco", "gcn", "textgcn", "textgcndev",
     "fine", "msfine", "pe", "node2vec", "fastrp", "metapath2vec", "han",
     "ctdne", "jodie", "transe", "rotate", "complex", "sne", "sasrec",
     "gsasrec", "recdenoiser", "cpr", "tpr",

@@ -137,3 +137,38 @@ def test_eco_learns(field_graph):
     wv = np.asarray(m.state["vertex"])
     assert np.isfinite(wv).all()
     assert _gap(field_graph, wv) > 0.0
+
+
+def test_textgcndev_trains_and_saves(tmp_path_factory, tmp_path):
+    """user-event-word 3-field graph for the dev CBOW variant."""
+    from smore_tpu.models.gcn import TEXTGCNdev
+
+    rng = np.random.default_rng(17)
+    edges, fields = [], []
+    for u in range(8):
+        for e in rng.choice(6, 3, replace=False):
+            edges.append((f"u{u}", f"e{e}", 1.0))
+    for e in range(6):
+        for w in rng.choice(10, 4, replace=False):
+            edges.append((f"e{e}", f"w{w}", 1.0))
+    g = Graph.from_edges(edges, undirected=True)
+    p = tmp_path_factory.mktemp("tgd") / "field.txt"
+    p.write_text("".join(
+        f"{nm} {'u' if nm[0] == 'u' else 'e' if nm[0] == 'e' else 'w'}\n"
+        for nm in g.names
+    ))
+    g.load_field_meta(str(p))
+    assert g.field_names[0] == "u" and g.field_names[1] == "e"
+
+    m = TEXTGCNdev(g, seed=0)
+    m.init(dim=8)
+    m.train(sample_times=0.01, num_events=2, num_words=3,
+            negative_samples=2, alpha=0.01, batch=16, steps_per_call=4,
+            verbose=False)
+    assert np.isfinite(np.asarray(m.state["vertex"])).all()
+    out = tmp_path / "tgd.txt"
+    m.save_weights(str(out))
+    lines = out.read_text().strip().split("\n")
+    n_kept = sum(1 for nm in g.names if not nm.startswith("e"))
+    assert lines[0] == f"{n_kept} 8"
+    assert len(lines) == 1 + n_kept
