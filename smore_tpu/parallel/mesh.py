@@ -41,3 +41,35 @@ def row_sharded(mesh: Mesh, axis: str = "d") -> NamedSharding:
 def batch_sharded(mesh: Mesh, axis: str = "d") -> NamedSharding:
     """Index-batch sharding: leading dim split across devices."""
     return NamedSharding(mesh, P(axis))
+
+
+def shard_state(state, mesh: Mesh, axis: str = "d"):
+    """Large-graph mode: place every embedding table row-sharded over the
+    mesh. A TrainDriver jit over such state keeps the shardings; GSPMD
+    partitions the gathers/scatter-adds and inserts the all-gather /
+    all-to-all collectives over ICI (SURVEY.md 5.8). Use when the tables
+    do not fit one chip's HBM; for smaller graphs prefer
+    TrainDriver(mesh=...) data parallelism (replicated tables)."""
+    rows = row_sharded(mesh, axis)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, rows) if getattr(x, "ndim", 0) == 2 else x,
+        state,
+    )
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host (DCN) bring-up: wraps jax.distributed.initialize. Each
+    host then builds the same global Mesh over jax.devices(); per-host
+    sampler streams differ via fold_in(key, process_index) -- the
+    multi-host analog of the reference's per-thread RNG
+    (/root/reference/src/random.cpp:5-13)."""
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)

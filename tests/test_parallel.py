@@ -77,3 +77,19 @@ def test_dp_streams_are_independent(comm_graph):
                 verbose=False)
         runs.append(np.asarray(m.state["vertex"]))
     assert not np.allclose(runs[0], runs[1])
+
+
+def test_line_row_sharded_tables(comm_graph):
+    """Large-graph mode: tables row-sharded over the mesh; the same
+    jitted step runs with GSPMD-inserted collectives."""
+    from smore_tpu.parallel.mesh import row_sharded, shard_state
+
+    mesh = make_mesh(min(8, len(jax.devices())))
+    m = LINE(comm_graph, seed=0)
+    m.init(dim=16, order=2)
+    m.state = shard_state(m.state, mesh)
+    assert m.state["vertex"].sharding == row_sharded(mesh)
+    m.train(sample_times=0.01, negative_samples=3, alpha=0.02, batch=64,
+            steps_per_call=4, collision="mean", verbose=False)
+    wv = np.asarray(m.state["vertex"])
+    assert np.isfinite(wv).all() and wv.shape == (24, 16)
