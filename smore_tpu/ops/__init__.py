@@ -1,1 +1,1 @@
-from smore_tpu.ops import update  # noqa: F401
+from smore_tpu.ops import community, update  # noqa: F401

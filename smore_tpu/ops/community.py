@@ -157,6 +157,194 @@ def dchoice_step(
     return w, loss
 
 
+def choice_softmax_step(
+    w: jnp.ndarray,  # (N, D) single table (reference passes w_vertex twice)
+    vertex: jnp.ndarray,  # (B,)
+    pos: jnp.ndarray,  # (B,)
+    negs: jnp.ndarray,  # (B, K)
+    alpha: jnp.ndarray,
+    reg: float = 0.01,
+    mask: Optional[jnp.ndarray] = None,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched single-table sampled-softmax choice update.
+
+    Covers UpdateHOPChoice (proNet.cpp:2134-2219, live branch: 1 round,
+    uniform negatives) and UpdateRecallRank (proNet.cpp:1887-2036: 5
+    rounds per call with pos = TargetSample(vertex) and field-matched
+    negatives -- rounds/sampling are the caller's job here). Z = exp(pos)
+    + sum exp(negs); u gets the deferred softmax gradient, pos/negs update
+    immediately (same-batch scatter), all rows L2-shrink by reg.
+
+    Note the reference's RecallRank accumulates a growing pos_scores list
+    across rounds and mixes raw/exp'd scores (proNet.cpp:1904-1954) --
+    an accumulation bug; this implements the evident per-round intent,
+    which is exactly the HOPChoice formula.
+    """
+    u = w.at[vertex].get(mode="promise_in_bounds")  # (B,D)
+    c = w.at[pos].get(mode="promise_in_bounds")
+    n = w.at[negs].get(mode="promise_in_bounds")  # (B,K,D)
+
+    e_pos = jnp.exp(jnp.einsum("bd,bd->b", u, c))
+    e_neg = jnp.exp(jnp.einsum("bd,bkd->bk", u, n))
+    z = e_pos + e_neg.sum(-1)
+
+    dev = c * e_pos[:, None] + jnp.einsum("bk,bkd->bd", e_neg, n)
+    m1 = 1.0 if mask is None else mask[:, None]
+    d_u = alpha * (c - dev / z[:, None] - reg * u) * m1
+    d_c = alpha * (u - u * (e_pos / z)[:, None] - reg * c) * m1
+    d_n = -alpha * (
+        u[:, None, :] * (e_neg / z[:, None])[..., None] + reg * n
+    ) * (1.0 if mask is None else mask[:, None, None])
+
+    B, K, D = d_n.shape
+    mask_k = None if mask is None else jnp.repeat(mask, K)
+    w = scatter_apply(
+        w,
+        [
+            (vertex, d_u, mask),
+            (pos, d_c, mask),
+            (negs.reshape(-1), d_n.reshape(B * K, D), mask_k),
+        ],
+        collision,
+    )
+    ce = -jnp.log(jnp.clip(e_pos / z, 1e-9, None))
+    if mask is None:
+        loss = ce.mean()
+    else:
+        loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    return w, loss
+
+
+# Alias for inventory parity: UpdateRecallRank is choice_softmax_step with
+# 5 rounds of (pos=TargetSample(vertex), field-matched negatives) per
+# logical sample -- the ECO-family models expand rounds into the batch.
+recall_rank_step = choice_softmax_step
+hop_choice_step = choice_softmax_step
+
+
+def raw_choice_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    vertex: jnp.ndarray,  # (B,)
+    pos: jnp.ndarray,  # (B,)
+    negs: jnp.ndarray,  # (B, K)
+    alpha: jnp.ndarray,
+    reg: float = 0.01,
+    mask: Optional[jnp.ndarray] = None,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched UpdateRAWChoice (proNet.cpp:2038-2132, live branch):
+    "raw" choice scores are sigmoid(-f) instead of exp(f). Faithful to
+    the reference's written updates:
+      d_u    = alpha*(c*s_pos - (c*s_pos + sum_k n_k*s_k) - reg*u)
+      d_pos  = alpha*(u*s_pos - u*Z - reg*c)         [Z = s_pos + sum s_k]
+      d_negk = -alpha*(u*Z + reg*n_k)                [scalar Z, as written]
+    """
+    u = w_vertex.at[vertex].get(mode="promise_in_bounds")
+    c = w_context.at[pos].get(mode="promise_in_bounds")
+    n = w_context.at[negs].get(mode="promise_in_bounds")
+
+    s_pos = jax.nn.sigmoid(-jnp.einsum("bd,bd->b", u, c))
+    s_neg = jax.nn.sigmoid(-jnp.einsum("bd,bkd->bk", u, n))
+    z = s_pos + s_neg.sum(-1)
+
+    dev = c * s_pos[:, None] + jnp.einsum("bk,bkd->bd", s_neg, n)
+    m1 = 1.0 if mask is None else mask[:, None]
+    d_u = alpha * (c * s_pos[:, None] - dev - reg * u) * m1
+    d_c = alpha * (u * s_pos[:, None] - u * z[:, None] - reg * c) * m1
+    d_n = -alpha * (u[:, None, :] * z[:, None, None] + reg * n) * (
+        1.0 if mask is None else mask[:, None, None]
+    )
+
+    B, K, D = d_n.shape
+    mask_k = None if mask is None else jnp.repeat(mask, K)
+    w_context = scatter_apply(
+        w_context,
+        [(pos, d_c, mask), (negs.reshape(-1), d_n.reshape(B * K, D), mask_k)],
+        collision,
+    )
+    w_vertex = scatter_apply(w_vertex, [(vertex, d_u, mask)], collision)
+    loss = -jnp.log(jnp.clip(s_pos / jnp.maximum(z, 1e-9), 1e-9, None)).mean()
+    return w_vertex, w_context, loss
+
+
+def choice_step(
+    w_vertex: jnp.ndarray,  # (N, D)
+    w_ignore: jnp.ndarray,  # (N, D) second table ("ignore"/context bank)
+    vertex: jnp.ndarray,  # (B,)
+    pos2: jnp.ndarray,  # (B,) phase-2 positive (TargetSample(vertex))
+    negs1: jnp.ndarray,  # (B, R1, K) phase-1 negatives (5 rounds of K)
+    negs2: jnp.ndarray,  # (B, K2) phase-2 negatives (K-1 in the reference)
+    alpha: jnp.ndarray,
+    reg: float = 0.01,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched UpdateChoice (proNet.cpp:2408-2589).
+
+    Phase 1 (x R1 rounds): softmax between the vertex's OWN row in the
+    ignore table (positive) and K negatives from the vertex table; the
+    vertex-side error is accumulated but never applied in phase 1 (the
+    apply is commented out at the reference) -- it carries into the final
+    write after phase 2. Phase 2 (x1): softmax with pos2 as positive and
+    {negs2, ignore-row} as negatives.
+    """
+    u = w_vertex.at[vertex].get(mode="promise_in_bounds")  # (B,D)
+    ig = w_ignore.at[vertex].get(mode="promise_in_bounds")  # (B,D)
+    B, R1, K = negs1.shape
+    D = u.shape[-1]
+
+    # ---- phase 1 (vectorized over rounds; all against the snapshot) ----
+    n1 = w_vertex.at[negs1].get(mode="promise_in_bounds")  # (B,R1,K,D)
+    e_pos1 = jnp.exp(jnp.einsum("bd,bd->b", u, ig))  # (B,)
+    e_neg1 = jnp.exp(jnp.einsum("bd,brkd->brk", u, n1))
+    z1 = e_pos1[:, None] + e_neg1.sum(-1)  # (B,R1)
+
+    dev1 = ig[:, None, :] * e_pos1[:, None, None] + jnp.einsum(
+        "brk,brkd->brd", e_neg1, n1
+    )
+    back_v = (alpha * (ig[:, None, :] - dev1 / z1[..., None] - reg * u[:, None, :])).sum(1)
+    d_ig = alpha * (
+        u * R1 - u * (e_pos1[:, None] / z1).sum(-1)[:, None] - reg * ig * R1
+    )
+    d_n1 = -alpha * (
+        u[:, None, None, :] * (e_neg1 / z1[..., None])[..., None] + reg * n1
+    )
+
+    # ---- phase 2 ----
+    c2 = w_vertex.at[pos2].get(mode="promise_in_bounds")
+    n2 = w_vertex.at[negs2].get(mode="promise_in_bounds")  # (B,K2,D)
+    e_pos2 = jnp.exp(jnp.einsum("bd,bd->b", u, c2))
+    e_neg2 = jnp.exp(jnp.einsum("bd,bkd->bk", u, n2))
+    e_ig2 = jnp.exp(jnp.einsum("bd,bd->b", u, ig))
+    z2 = e_pos2 + e_neg2.sum(-1) + e_ig2
+
+    dev2 = (
+        c2 * e_pos2[:, None]
+        + jnp.einsum("bk,bkd->bd", e_neg2, n2)
+        + ig * e_ig2[:, None]
+    )
+    back_v = back_v + alpha * (c2 - dev2 / z2[:, None] - reg * u)
+    d_c2 = alpha * (u - u * (e_pos2 / z2)[:, None] - reg * c2)
+    d_n2 = -alpha * (u[:, None, :] * (e_neg2 / z2[:, None])[..., None] + reg * n2)
+    d_ig = d_ig - alpha * (u * (e_ig2 / z2)[:, None] + reg * ig)
+
+    K2 = negs2.shape[1]
+    w_vertex = scatter_apply(
+        w_vertex,
+        [
+            (vertex, back_v),
+            (pos2, d_c2),
+            (negs1.reshape(-1), d_n1.reshape(B * R1 * K, D)),
+            (negs2.reshape(-1), d_n2.reshape(B * K2, D)),
+        ],
+        collision,
+    )
+    w_ignore = scatter_apply(w_ignore, [(vertex, d_ig)], collision)
+    loss = -jnp.log(jnp.clip(e_pos2 / z2, 1e-9, None)).mean()
+    return w_vertex, w_ignore, loss
+
+
 def field_project(vids: jnp.ndarray, fids: jnp.ndarray, n_fields: int):
     """Shadow row index for (vertex, field): vid * n_fields + fid.
     The reference materializes these as MAX_fvid extra rows
@@ -236,3 +424,12 @@ def field_community_step(
     loss = jnp.sum(-jnp.log(jax.nn.sigmoid(
         jnp.einsum("bsd,bsd->bs", v, c)) + 1e-7) * walk_mask) / denom
     return w_vertex, w_context, loss
+
+
+# UpdateFieldsCommunity (proNet.cpp:3310-3371) iterates the cross product
+# of the vertex's fields x the context's fields; with one field per vertex
+# (what LoadFieldMeta produces, proNet.cpp:330-408) the cross product has
+# exactly one combination -- vertex row projected by the context's field,
+# context row projected by the vertex's field, field-matched negatives --
+# which is precisely field_community_step's non-ms branch.
+fields_community_step = field_community_step

@@ -537,6 +537,261 @@ def skewbpr_step(
 
 
 # --------------------------------------------------------------------- #
+# PU (positive-unlabeled) variants. Reference Opt_PUSGD (proNet.cpp:1249),
+# Opt_PUSigmoidSGD (proNet.cpp:1279), Opt_PUBPRSGD (proNet.cpp:1033).
+# These are experimental kernels in the reference (no shipped CLI uses
+# them); implemented for inventory parity (SURVEY.md section 2.1).
+# --------------------------------------------------------------------- #
+def pu_sgd_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    src: jnp.ndarray,  # (B,)
+    ctx: jnp.ndarray,  # (B,)
+    labels: jnp.ndarray,  # (B,) 1.0 = positive, 0.0 = unlabeled
+    alpha: jnp.ndarray,
+    reg: float = 0.01,
+    mask: Optional[jnp.ndarray] = None,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched Opt_PUSGD (proNet.cpp:1249-1277): g = label - v.c; the
+    positive branch uses a risk-weighted gradient (alpha*g + 1), the
+    unlabeled branch the plain MF gradient; both shrink by reg."""
+    v = w_vertex.at[src].get(mode="promise_in_bounds")
+    c = w_context.at[ctx].get(mode="promise_in_bounds")
+    f = jnp.einsum("bd,bd->b", v, c)
+    g = labels - f
+    gw = jnp.where(labels == 1.0, alpha * g + 1.0, g)  # positive reweight
+    gw = _maybe_mask(gw, mask)
+    m1 = 1.0 if mask is None else mask[:, None]
+    d_v = alpha * (gw[:, None] * c - reg * v * m1)
+    d_c = alpha * (gw[:, None] * v - reg * c * m1)
+    w_vertex, w_context = apply_two_tables(
+        w_vertex, w_context, [(src, d_v, mask)], [(ctx, d_c, mask)],
+        collision=collision,
+    )
+    loss = jnp.mean(g * g)
+    return w_vertex, w_context, loss
+
+
+def pu_sigmoid_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    src: jnp.ndarray,
+    ctx: jnp.ndarray,
+    labels: jnp.ndarray,  # (B,) 1.0 positive, 0.0 unlabeled/negative
+    alpha: jnp.ndarray,
+    reg: float = 0.0025,
+    mask: Optional[jnp.ndarray] = None,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched Opt_PUSigmoidSGD (proNet.cpp:1279-1310).
+
+    positive: d_v = alpha*(sigmoid(-f) + 2*alpha)*c - alpha*reg*v
+              d_c = alpha* sigmoid(-f)*v           - alpha*reg*c
+    unlabeled: d_v = -alpha*(sigmoid(f)*c + reg*v)  (and symmetrically c)
+    """
+    v = w_vertex.at[src].get(mode="promise_in_bounds")
+    c = w_context.at[ctx].get(mode="promise_in_bounds")
+    f = jnp.einsum("bd,bd->b", v, c)
+    is_pos = labels == 1.0
+    s_neg_f = jax.nn.sigmoid(-f)  # positive-branch factor
+    s_pos_f = jax.nn.sigmoid(f)  # unlabeled-branch factor
+    m1 = 1.0 if mask is None else mask[:, None]
+    mb = 1.0 if mask is None else mask
+
+    gv_pos = alpha * (s_neg_f + 2.0 * alpha)
+    gc_pos = alpha * s_neg_f
+    d_v = jnp.where(
+        is_pos[:, None],
+        gv_pos[:, None] * c - alpha * reg * v,
+        -(alpha * s_pos_f)[:, None] * c - alpha * reg * v,
+    ) * m1
+    d_c = jnp.where(
+        is_pos[:, None],
+        gc_pos[:, None] * v - alpha * reg * c,
+        -(alpha * s_pos_f)[:, None] * v - alpha * reg * c,
+    ) * m1
+    w_vertex, w_context = apply_two_tables(
+        w_vertex, w_context, [(src, d_v, mask)], [(ctx, d_c, mask)],
+        collision=collision,
+    )
+    ce = jnp.where(is_pos, -jnp.log(jax.nn.sigmoid(f) + 1e-7),
+                   -jnp.log(1.0 - jax.nn.sigmoid(f) + 1e-7)) * mb
+    loss = jnp.mean(ce)
+    return w_vertex, w_context, loss
+
+
+def pu_bpr_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    user: jnp.ndarray,
+    pos: jnp.ndarray,
+    negs: jnp.ndarray,  # (B, R)
+    alpha: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    shared_table: bool = False,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched Opt_PUBPRSGD (proNet.cpp:1033-1051): the live branch is
+    numerically identical to Opt_BPRSGD (g = sigmoid(-f)) with zero L2 --
+    the PU reweighting is commented out in the reference."""
+    return bpr_step(
+        w_vertex, w_context, user, pos, negs, alpha,
+        reg_ctx=0.0, reg_vtx=0.0, mask=mask, shared_table=shared_table,
+        collision=collision,
+    )
+
+
+# --------------------------------------------------------------------- #
+# Cosine-similarity SGD. Reference Opt_CosineSGD (proNet.cpp:1180-1247)
+# inside UpdateCosinePair (proNet.cpp:1714-1782): positive pair label 1,
+# negative_samples fresh negatives label -1; gradient of
+# (label - cos(v,c)) wrt both rows, applied immediately (batched here).
+# --------------------------------------------------------------------- #
+def cosine_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    src: jnp.ndarray,  # (B,)
+    pos: jnp.ndarray,  # (B,)
+    negs: jnp.ndarray,  # (B, K)
+    alpha: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    eps = 1e-8
+
+    def cos_deltas(v, c, label):
+        vl = jnp.linalg.norm(v, axis=-1, keepdims=True) + eps  # (...,1)
+        cl = jnp.linalg.norm(c, axis=-1, keepdims=True) + eps
+        f = jnp.sum(v * c, axis=-1, keepdims=True) / (vl * cl)  # cosine
+        err = (label - f) * alpha
+        # d cos/d v = c/(|v||c|) - v*cos/|v|^2 (proNet.cpp:1208-1212)
+        d_v = err * (c / (vl * cl) - v * f / (vl * vl))
+        d_c = err * (v / (vl * cl) - c * f / (cl * cl))
+        return d_v, d_c, f
+
+    v = w_vertex.at[src].get(mode="promise_in_bounds")  # (B,D)
+    cp = w_context.at[pos].get(mode="promise_in_bounds")
+    cn = w_context.at[negs].get(mode="promise_in_bounds")  # (B,K,D)
+
+    d_v1, d_cp, f_pos = cos_deltas(v, cp, 1.0)
+    d_v2, d_cn, f_neg = cos_deltas(v[:, None, :], cn, -1.0)
+    d_v = d_v1 + d_v2.sum(axis=1)
+    if mask is not None:
+        d_v = d_v * mask[:, None]
+        d_cp = d_cp * mask[:, None]
+        d_cn = d_cn * mask[:, None, None]
+
+    B, K, D = d_cn.shape
+    mask_k = None if mask is None else jnp.repeat(mask, K)
+    w_context = scatter_apply(
+        w_context,
+        [(pos, d_cp, mask), (negs.reshape(-1), d_cn.reshape(B * K, D), mask_k)],
+        collision,
+    )
+    w_vertex = scatter_apply(w_vertex, [(src, d_v, mask)], collision)
+    loss = jnp.mean((1.0 - f_pos) ** 2) + jnp.mean((-1.0 - f_neg) ** 2)
+    return w_vertex, w_context, loss
+
+
+# --------------------------------------------------------------------- #
+# Length (norm-product) SGD. Reference Opt_LengthSGD (proNet.cpp:1121-
+# 1178) inside UpdateLengthPair (proNet.cpp:1635-1712): pulls the PRODUCT
+# of the two rows' norms toward the label (1 for pos, 0 for neg -- the
+# reference maps label -1 -> 0 at proNet.cpp:1152-1155); deltas are
+# SUBTRACTED (gradient descent on (|v||c| - label)^2).
+# --------------------------------------------------------------------- #
+def length_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    src: jnp.ndarray,
+    pos: jnp.ndarray,
+    negs: jnp.ndarray,  # (B, K)
+    alpha: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    eps = 1e-8
+
+    def len_deltas(v, c, label):
+        vl = jnp.linalg.norm(v, axis=-1, keepdims=True) + eps
+        cl = jnp.linalg.norm(c, axis=-1, keepdims=True) + eps
+        vc = vl * cl
+        # g_v = 2 v |c| (|v||c| - label)/|v| (proNet.cpp:1160-1161)
+        d_v = -alpha * 2.0 * v * cl * (vc - label) / vl
+        d_c = -alpha * 2.0 * c * vl * (vc - label) / cl
+        return d_v, d_c, vc
+
+    v = w_vertex.at[src].get(mode="promise_in_bounds")
+    cp = w_context.at[pos].get(mode="promise_in_bounds")
+    cn = w_context.at[negs].get(mode="promise_in_bounds")
+
+    d_v1, d_cp, vc_pos = len_deltas(v, cp, 1.0)
+    d_v2, d_cn, vc_neg = len_deltas(v[:, None, :], cn, 0.0)
+    d_v = d_v1 + d_v2.sum(axis=1)
+    if mask is not None:
+        d_v = d_v * mask[:, None]
+        d_cp = d_cp * mask[:, None]
+        d_cn = d_cn * mask[:, None, None]
+
+    B, K, D = d_cn.shape
+    mask_k = None if mask is None else jnp.repeat(mask, K)
+    w_context = scatter_apply(
+        w_context,
+        [(pos, d_cp, mask), (negs.reshape(-1), d_cn.reshape(B * K, D), mask_k)],
+        collision,
+    )
+    w_vertex = scatter_apply(w_vertex, [(src, d_v, mask)], collision)
+    loss = jnp.mean((vc_pos - 1.0) ** 2) + jnp.mean(vc_neg**2)
+    return w_vertex, w_context, loss
+
+
+# --------------------------------------------------------------------- #
+# Grouping pair. Reference UpdateGroupingPair (proNet.cpp:1811-1885):
+# sums a small GROUP of vertex rows (the vertex, its 2-hop walk endpoint
+# -- which the reference pushes twice due to a loop quirk at
+# proNet.cpp:1832: the context's 2-hop endpoint is appended to the
+# VERTEX list) and the context row, runs one Opt_SGD on the summed
+# vectors, and adds the same back-error to every group member.
+# --------------------------------------------------------------------- #
+def grouping_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    vgroup: jnp.ndarray,  # (B, Gv) vertex-group rows (duplicates allowed)
+    cgroup: jnp.ndarray,  # (B, Gc) context-group rows
+    labels: jnp.ndarray,  # (B,)
+    alpha: jnp.ndarray,
+    reg: float = 0.01,
+    mask: Optional[jnp.ndarray] = None,
+    shared_table: bool = False,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    v_sum = jnp.sum(w_vertex.at[vgroup].get(mode="promise_in_bounds"), axis=1)
+    c_sum = jnp.sum(w_context.at[cgroup].get(mode="promise_in_bounds"), axis=1)
+    f = jnp.einsum("bd,bd->b", v_sum, c_sum)
+    g = _maybe_mask((labels - f) * alpha, mask)  # Opt_SGD (proNet.cpp:991)
+    m1 = 1.0 if mask is None else mask[:, None]
+    d_v = g[:, None] * c_sum - alpha * reg * v_sum * m1
+    d_c = g[:, None] * v_sum - alpha * reg * c_sum * m1
+
+    B, Gv = vgroup.shape
+    Gc = cgroup.shape[1]
+    D = d_v.shape[-1]
+    rep_v = jnp.broadcast_to(d_v[:, None, :], (B, Gv, D)).reshape(B * Gv, D)
+    rep_c = jnp.broadcast_to(d_c[:, None, :], (B, Gc, D)).reshape(B * Gc, D)
+    mask_v = None if mask is None else jnp.repeat(mask, Gv)
+    mask_c = None if mask is None else jnp.repeat(mask, Gc)
+    w_vertex, w_context = apply_two_tables(
+        w_vertex, w_context,
+        [(vgroup.reshape(-1), rep_v, mask_v)],
+        [(cgroup.reshape(-1), rep_c, mask_c)],
+        shared_table=shared_table, collision=collision,
+    )
+    loss = jnp.mean((labels - f) ** 2)
+    return w_vertex, w_context, loss
+
+
+# --------------------------------------------------------------------- #
 # Margin-filtered BPR with decay (HOP-REC). Reference UpdateFBPRPair
 # (proNet.cpp:1458-1515) via Opt_FBPRSGD (proNet.cpp:1014-1031): skip the
 # update when f = v.(ci-cj) already exceeds the margin.
