@@ -18,6 +18,17 @@ Variants:
                segment-sum. Same conditional context law, same source
                marginal -- only the per-step stratification changes.
   g4bf16     : group4 + bf16 tables
+  draw1d     : alias draws via separate 1-D prob/alias gathers instead of
+               packed (N,2)/(E,4) rows (lane-waste hypothesis, PERF_NOTES)
+  u32draw    : ONE uint32 random word per alias draw (top 24 bits -> slot,
+               hashed low bits -> 16-bit threshold) instead of 2 f32
+               uniforms; halves RNG volume and uniform materialization
+  nodraws    : indices derived from iota (no RNG, no alias gathers) --
+               lower-bound: what the step costs if draws were free
+  iotascat   : draws + math as baseline but scatters use disjoint iota
+               indices with unique_indices hints -- scatter ceiling probe
+  sortscat   : sort+dedup the pos scatter (argsort, cumsum segment totals,
+               unique-index scatter); src/neg scatters unchanged
 Run: python experiments/perf_sgns.py  (real TPU; ~10-30 min first time)
 """
 
@@ -61,11 +72,119 @@ def grads_shared(v, cp, cn, alpha):
     return d_src, d_pos, d_neg
 
 
+def draws_1d(tables, key):
+    """Alias draws via separate 1-D prob/alias arrays (no packed rows)."""
+    u = jax.random.uniform(key, (B, 6))
+    n = tables.vertex_prob.shape[0]
+
+    def g(a, i):
+        return a.at[i].get(mode="promise_in_bounds")
+
+    i = jnp.minimum((u[:, 0] * n).astype(jnp.int32), n - 1)
+    src = jnp.where(u[:, 1] < g(tables.vertex_prob, i), i, g(tables.vertex_alias, i))
+    off = g(tables.indptr, src)
+    deg = g(tables.degree, src)
+    r = (u[:, 2] * deg).astype(jnp.int32)
+    slot = off + jnp.minimum(r, jnp.maximum(deg - 1, 0))
+    pos_v = jnp.where(
+        u[:, 3] < g(tables.ctx_prob, slot),
+        g(tables.ctx_vid, slot),
+        g(tables.ctx_alias_vid, slot),
+    )
+    pos = jnp.where(deg > 0, pos_v, src)
+    j = jnp.minimum((u[:KS, 4] * n).astype(jnp.int32), n - 1)
+    negs = jnp.where(u[:KS, 5] < g(tables.neg_prob, j), j, g(tables.neg_alias, j))
+    return src, pos, negs
+
+
+def draws_u32(tables, key):
+    """ONE uint32 word per alias draw: top 24 bits -> slot (exact in f32),
+    knuth-hashed bits -> 16-bit bernoulli threshold."""
+    r = jax.random.bits(key, (B, 3))
+    n = tables.vertex_prob.shape[0]
+
+    def g(a, i):
+        return a.at[i].get(mode="promise_in_bounds")
+
+    def thresh(w):  # decorrelated 16-bit uniform in [0,1)
+        return ((w * jnp.uint32(2654435761)) >> 16).astype(jnp.float32) * (1.0 / 65536.0)
+
+    def top24(w):  # uniform [0,1) from top 24 bits, exact in f32
+        return (w >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+
+    i = jnp.minimum((top24(r[:, 0]) * n).astype(jnp.int32), n - 1)
+    src = jnp.where(
+        thresh(r[:, 0]) < g(tables.vertex_prob, i), i, g(tables.vertex_alias, i)
+    )
+    off = g(tables.indptr, src)
+    deg = g(tables.degree, src)
+    slot = off + jnp.minimum(
+        (top24(r[:, 1]) * deg).astype(jnp.int32), jnp.maximum(deg - 1, 0)
+    )
+    pos_v = jnp.where(
+        thresh(r[:, 1]) < g(tables.ctx_prob, slot),
+        g(tables.ctx_vid, slot),
+        g(tables.ctx_alias_vid, slot),
+    )
+    pos = jnp.where(deg > 0, pos_v, src)
+    j = jnp.minimum((top24(r[:KS, 2]) * n).astype(jnp.int32), n - 1)
+    negs = jnp.where(
+        thresh(r[:KS, 2]) < g(tables.neg_prob, j), j, g(tables.neg_alias, j)
+    )
+    return src, pos, negs
+
+
+def draws_hash(key, n):
+    """No-RNG-table draws: pure integer hash indices (floor probe)."""
+    base = jax.random.bits(key, (3,))
+    h = jnp.arange(B, dtype=jnp.uint32)[:, None] * jnp.uint32(2654435761) + base
+    idx = (h % jnp.uint32(n)).astype(jnp.int32)
+    return idx[:, 0], idx[:, 1], idx[:KS, 2]
+
+
+def sorted_unique_scatter(w, idx, delta):
+    """Sort -> run-total via cumsum -> scatter at unique ids only."""
+    n = w.shape[0]
+    Bn = idx.shape[0]
+    order = jnp.argsort(idx)
+    sp = idx.at[order].get(mode="promise_in_bounds")
+    sd = delta.at[order].get(mode="promise_in_bounds")
+    c = jnp.cumsum(sd, axis=0)
+    change = sp[1:] != sp[:-1]
+    is_end = jnp.concatenate([change, jnp.ones((1,), bool)])
+    seg_start = jnp.concatenate([jnp.ones((1,), bool), change])
+    iota = jnp.arange(Bn)
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(seg_start, iota, -1)
+    )
+    prev = run_start - 1
+    cprev = jnp.where(
+        (prev >= 0)[:, None],
+        c.at[jnp.maximum(prev, 0)].get(mode="promise_in_bounds"),
+        0.0,
+    )
+    tot = jnp.where(is_end[:, None], c - cprev, 0.0).astype(w.dtype)
+    ids = jnp.where(is_end, sp, n + iota)  # padding ids unique + OOB
+    return w.at[ids].add(tot, mode="drop", unique_indices=True)
+
+
+def draws_two_stage(tables, key):
+    """The pre-edge-table production path (source -> context -> negs)."""
+    u = jax.random.uniform(key, (B, 6))
+    src = tables.source_sample(key, (B,), u2=u[:, 0:2])
+    pos = tables.target_sample(key, src, u2=u[:, 2:4])
+    negs = tables.negative_sample(key, (KS,), u2=u[:KS, 4:6])
+    return src, pos, negs
+
+
 def make_step(tables, variant):
     def draws(key):
-        return tables.draw_edge_batch(key, B, KS)
+        if variant in ("edge", "edge_bf16"):
+            return tables.draw_edge_batch(key, B, KS)  # joint edge table
+        return draws_two_stage(tables, key)
 
     G = {"group4": 4, "group8": 8, "g4bf16": 4}.get(variant, 1)
+    n_v = tables.vertex_prob.shape[0]
 
     def step(state, key):
         wv, wc = state
@@ -77,6 +196,12 @@ def make_step(tables, variant):
             src = jnp.repeat(src_small, G)
             pos = tables.target_sample(key, src, u2=u[:, 2:4])
             negs = tables.negative_sample(key, (KS,), u2=u[:KS, 4:6])
+        elif variant == "draw1d":
+            src, pos, negs = draws_1d(tables, key)
+        elif variant == "u32draw":
+            src, pos, negs = draws_u32(tables, key)
+        elif variant == "nodraws":
+            src, pos, negs = draws_hash(key, n_v)
         else:
             src, pos, negs = draws(key)
 
@@ -85,7 +210,21 @@ def make_step(tables, variant):
         cn = wc.at[negs].get(mode="promise_in_bounds").astype(jnp.float32)
         d_src, d_pos, d_neg = grads_shared(v, cp, cn, ALPHA)
 
-        if variant != "baseline":
+        if variant == "iotascat":
+            # scatter-CEILING probe: same math, but write to disjoint
+            # unique rows (shifted iota) with the uniqueness hint
+            off = jax.random.randint(key, (), 0, n_v)
+            ui = (jnp.arange(B) + off) % n_v
+            wc = wc.at[ui].add(cast(d_pos), unique_indices=True)
+            wc = wc.at[(jnp.arange(KS) + off) % n_v].add(
+                cast(d_neg), unique_indices=True
+            )
+            wv = wv.at[ui].add(cast(d_src), unique_indices=True)
+        elif variant == "sortscat":
+            wc = sorted_unique_scatter(wc, pos, d_pos)
+            wc = wc.at[negs].add(cast(d_neg), mode="promise_in_bounds")
+            wv = sorted_unique_scatter(wv, src, d_src)
+        elif variant in ("concat", "bf16", "group4", "group8", "g4bf16"):
             # ONE scatter per table
             ctx_idx = jnp.concatenate([pos, negs])
             ctx_delta = cast(jnp.concatenate([d_pos, d_neg], axis=0))
@@ -95,7 +234,7 @@ def make_step(tables, variant):
                 wv = wv.at[src[::G]].add(d_src_small, mode="promise_in_bounds")
             else:
                 wv = wv.at[src].add(cast(d_src), mode="promise_in_bounds")
-        else:  # baseline: 3 separate scatters
+        else:  # baseline / draw variants: 3 separate scatters
             wc = wc.at[pos].add(cast(d_pos), mode="promise_in_bounds")
             wc = wc.at[negs].add(cast(d_neg), mode="promise_in_bounds")
             wv = wv.at[src].add(cast(d_src), mode="promise_in_bounds")
@@ -145,15 +284,28 @@ def main():
     n = g.n_vertices
     print(f"graph: {n} vertices, {g.n_edges} edges; B={B} Ks={KS} D={D} S={S}")
     results = {}
+    want = sys.argv[1:] or None
     for name, dtype in [
+        ("edge", jnp.float32),
+        ("edge_bf16", jnp.bfloat16),
         ("baseline", jnp.float32),
+        ("nodraws", jnp.float32),
+        ("iotascat", jnp.float32),
+        ("draw1d", jnp.float32),
+        ("u32draw", jnp.float32),
+        ("sortscat", jnp.float32),
         ("concat", jnp.float32),
         ("bf16", jnp.bfloat16),
         ("group4", jnp.float32),
         ("group8", jnp.float32),
         ("g4bf16", jnp.bfloat16),
     ]:
-        results[name] = run_variant(name, tables, n, dtype)
+        if want and name not in want:
+            continue
+        try:
+            results[name] = run_variant(name, tables, n, dtype)
+        except Exception as e:  # keep sweeping past a broken variant
+            print(f"{name:10s}  FAILED: {type(e).__name__}: {e}", flush=True)
     best = max(results, key=results.get)
     print(f"best: {best} at {results[best]/1e6:.2f} M samples/s")
 

@@ -86,6 +86,16 @@ class SamplerTables:
     neg_pa: jnp.ndarray
     vert_meta: jnp.ndarray
     ctx_pa: jnp.ndarray
+    # Joint EDGE alias table: one O(1) draw yields a (src, pos) pair with
+    # EXACTLY the two-stage law P(src) * P(pos | src) -- the slot weight is
+    # p_vertex(u) * w_uv^0.75 / Z_u, precomputed on host. Collapses the
+    # dependent gather chain source_sample -> vert_meta -> ctx_pa (three
+    # random row reads) into ONE row read; measured 1.5x step speedup
+    # (draws were ~53% of the SGNS step, experiments/perf_sgns.py).
+    #   edge_pa: (E, 8) [prob, src, dst, alias_src, alias_dst, 0, 0, 0]
+    # vids stored as float32 (exact below 2^24; build() falls back to a
+    # (1, 8) dummy above that, and draw_edge_batch uses the 2-stage path).
+    edge_pa: jnp.ndarray
 
     # -- pytree protocol (so the tables can be passed to jit as an arg) --
     def tree_flatten(self):
@@ -103,6 +113,7 @@ class SamplerTables:
             self.neg_pa,
             self.vert_meta,
             self.ctx_pa,
+            self.edge_pa,
         )
         return children, None
 
@@ -148,6 +159,29 @@ class SamplerTables:
         va_safe = np.where(va < 0, idx, va)
         na_safe = np.where(na < 0, idx, na)
         deg = np.diff(g.indptr)
+
+        # Joint edge table (see field docs). Only exact while vids fit in a
+        # float32 mantissa; degenerate (1,8) dummy otherwise (the dynamic
+        # path falls back to the two-stage draw).
+        if 0 < g.n_edges and n < (1 << 24):
+            vmass = _vertex_distribution(g, vertex_method).astype(np.float64)
+            vmass = np.where(vmass > 0, vmass**power, 0.0)
+            w_pow = np.asarray(g.weights, dtype=np.float64)
+            w_pow = np.where(w_pow > 0, w_pow**power, 0.0)
+            z = np.bincount(seg_id, weights=w_pow, minlength=n)
+            joint = (vmass[seg_id] / max(vmass.sum(), 1e-300)) * (
+                w_pow / np.maximum(z[seg_id], 1e-300)
+            )
+            eprob, ealias = build_alias(joint, power=1.0)
+            ea_safe = np.where(ealias < 0, slot, ealias)
+            edge_pa_np = np.zeros((g.n_edges, 8), dtype=np.float32)
+            edge_pa_np[:, 0] = eprob
+            edge_pa_np[:, 1] = seg_id
+            edge_pa_np[:, 2] = g.indices
+            edge_pa_np[:, 3] = seg_id[ea_safe]
+            edge_pa_np[:, 4] = g.indices[ea_safe]
+        else:
+            edge_pa_np = np.zeros((1, 8), dtype=np.float32)
         return SamplerTables(
             vertex_prob=dev(vp, np.float32),
             vertex_alias=dev(va_safe, np.int32),
@@ -167,6 +201,7 @@ class SamplerTables:
                 ),
                 np.float32,
             ),
+            edge_pa=dev(edge_pa_np, np.float32),
         )
 
     # ------------------------------------------------------------------ #
@@ -237,10 +272,38 @@ class SamplerTables:
         out = jnp.where(u2[..., 1] < row[..., 0], row[..., 1], row[..., 2])
         return out.astype(jnp.int32)
 
+    def edge_sample(
+        self, key: jax.Array, shape, u2: Optional[jnp.ndarray] = None
+    ):
+        """One O(1) draw of a (src, pos) pair from the joint edge table --
+        identical in law to source_sample followed by target_sample(src)
+        (see edge_pa field docs). Requires the table to have been built
+        (n_vertices < 2^24)."""
+        if u2 is None:
+            u2 = jax.random.uniform(key, tuple(shape) + (2,))
+        e = self.edge_pa.shape[0]
+        i = jnp.minimum((u2[..., 0] * e).astype(jnp.int32), e - 1)
+        row = self.edge_pa.at[i].get(mode="promise_in_bounds")
+        take = u2[..., 1] < row[..., 0]
+        src = jnp.where(take, row[..., 1], row[..., 3])
+        dst = jnp.where(take, row[..., 2], row[..., 4])
+        return src.astype(jnp.int32), dst.astype(jnp.int32)
+
+    @property
+    def has_edge_table(self) -> bool:
+        return self.edge_pa.shape[0] > 1
+
     def draw_edge_batch(self, key: jax.Array, batch: int, n_negs: int):
         """Draw (src, pos, negs) for one SGNS step with a single RNG call:
-        src ~ vertex table, pos ~ src's context sub-table, negs ~ negative
-        table, shape (batch,), (batch,), (n_negs,) [shared negatives]."""
+        (src, pos) jointly from the edge table when built (one gather),
+        else src ~ vertex table then pos ~ src's context sub-table; negs ~
+        negative table. Shapes (batch,), (batch,), (n_negs,) [shared
+        negatives]."""
+        if self.has_edge_table:
+            u = jax.random.uniform(key, (batch, 4))
+            src, pos = self.edge_sample(key, (batch,), u2=u[:, 0:2])
+            negs = self.negative_sample(key, (n_negs,), u2=u[:n_negs, 2:4])
+            return src, pos, negs
         u = jax.random.uniform(key, (batch, 6))
         src = self.source_sample(key, (batch,), u2=u[:, 0:2])
         pos = self.target_sample(key, src, u2=u[:, 2:4])

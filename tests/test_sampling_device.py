@@ -79,3 +79,40 @@ def test_draws_jit_and_scan_safe(tables):
     srcs, poss = run(jax.random.PRNGKey(0))
     assert srcs.shape == (4, 16)
     assert poss.shape == (4, 16)
+
+
+def test_edge_sample_joint_distribution(toy_graph, tables):
+    """edge_sample must match the two-stage law P(src) * P(pos|src):
+    P(src) prop out_degree^0.75, P(pos|src) prop edge_weight^0.75."""
+    g = toy_graph
+    assert tables.has_edge_table
+    key = jax.random.PRNGKey(3)
+    src, pos = tables.edge_sample(key, (200_000,))
+    src, pos = np.asarray(src), np.asarray(pos)
+
+    vmass = g.out_degree**0.75
+    p_src = vmass / vmass.sum()
+    seg = np.repeat(np.arange(g.n_vertices), np.diff(g.indptr))
+    w75 = g.weights**0.75
+    z = np.bincount(seg, weights=w75, minlength=g.n_vertices)
+    expect = p_src[seg] * w75 / z[seg]  # per edge slot
+
+    flat = {}
+    for e in range(g.n_edges):
+        flat[(seg[e], g.indices[e])] = flat.get((seg[e], g.indices[e]), 0) + expect[e]
+    emp = {}
+    for s, p in zip(src, pos):
+        emp[(s, p)] = emp.get((s, p), 0) + 1.0 / len(src)
+    for k, v in flat.items():
+        assert abs(emp.get(k, 0.0) - v) < 0.01, (k, emp.get(k, 0.0), v)
+
+
+def test_edge_sample_matches_two_stage_marginals(toy_graph, tables):
+    """Source marginal of the joint draw == source_sample distribution."""
+    key = jax.random.PRNGKey(4)
+    src_joint, _ = tables.edge_sample(key, (150_000,))
+    src_two = tables.source_sample(jax.random.PRNGKey(5), (150_000,))
+    n = toy_graph.n_vertices
+    e1 = np.bincount(np.asarray(src_joint), minlength=n) / 150_000
+    e2 = np.bincount(np.asarray(src_two), minlength=n) / 150_000
+    np.testing.assert_allclose(e1, e2, atol=0.012)
