@@ -179,18 +179,36 @@ def draws_two_stage(tables, key):
 
 def make_step(tables, variant):
     def draws(key):
-        if variant in ("edge", "edge_bf16"):
+        if variant.startswith("edge"):
             return tables.draw_edge_batch(key, B, KS)  # joint edge table
         return draws_two_stage(tables, key)
 
-    G = {"group4": 4, "group8": 8, "g4bf16": 4}.get(variant, 1)
+    G = {
+        "group4": 4, "group8": 8, "g4bf16": 4,
+        "edge_g8": 8, "edge_g16": 16, "edge_g32": 32, "edge_g8p": 8,
+    }.get(variant, 1)
     n_v = tables.vertex_prob.shape[0]
 
     def step(state, key):
         wv, wc = state
         cast = functools.partial(jnp.asarray, dtype=wv.dtype)
 
-        if G > 1:
+        if variant.startswith("edge_g"):
+            # joint edge draw for B/G (src, pos_0) pairs, then G-1 extra
+            # contexts per source via the per-vertex sub-table; grouped
+            # (repeat) layout so the src side segment-sums in-register
+            u = jax.random.uniform(key, (B, 4))
+            src_small, pos0 = tables.edge_sample(
+                key, (B // G,), u2=u[: B // G, 0:2]
+            )
+            src = jnp.repeat(src_small, G)
+            pos = tables.target_sample(key, src, u2=u[:, 2:4])
+            pos = pos.at[::G].set(pos0)
+            # rows B//G..B//G+KS of cols 0:2 are unused by the edge draw
+            negs = tables.negative_sample(
+                key, (KS,), u2=u[B // G : B // G + KS, 0:2]
+            )
+        elif G > 1:
             u = jax.random.uniform(key, (B, 6))
             src_small = tables.source_sample(key, (B // G,), u2=u[: B // G, 0:2])
             src = jnp.repeat(src_small, G)
@@ -208,7 +226,14 @@ def make_step(tables, variant):
         v = wv.at[src].get(mode="promise_in_bounds").astype(jnp.float32)
         cp = wc.at[pos].get(mode="promise_in_bounds").astype(jnp.float32)
         cn = wc.at[negs].get(mode="promise_in_bounds").astype(jnp.float32)
-        d_src, d_pos, d_neg = grads_shared(v, cp, cn, ALPHA)
+        if variant in ("edge_pallas", "edge_g8p"):
+            from smore_tpu.ops.pallas_sgns import sgns_shared_grads_pallas
+
+            d_src, d_pos, d_neg = sgns_shared_grads_pallas(
+                v, cp, cn, ALPHA, k_equiv=K_EQUIV
+            )
+        else:
+            d_src, d_pos, d_neg = grads_shared(v, cp, cn, ALPHA)
 
         if variant == "iotascat":
             # scatter-CEILING probe: same math, but write to disjoint
@@ -224,7 +249,7 @@ def make_step(tables, variant):
             wc = sorted_unique_scatter(wc, pos, d_pos)
             wc = wc.at[negs].add(cast(d_neg), mode="promise_in_bounds")
             wv = sorted_unique_scatter(wv, src, d_src)
-        elif variant in ("concat", "bf16", "group4", "group8", "g4bf16"):
+        elif G > 1 or variant in ("concat", "bf16"):
             # ONE scatter per table
             ctx_idx = jnp.concatenate([pos, negs])
             ctx_delta = cast(jnp.concatenate([d_pos, d_neg], axis=0))
@@ -288,6 +313,11 @@ def main():
     for name, dtype in [
         ("edge", jnp.float32),
         ("edge_bf16", jnp.bfloat16),
+        ("edge_g8", jnp.float32),
+        ("edge_g16", jnp.float32),
+        ("edge_g32", jnp.float32),
+        ("edge_g8p", jnp.float32),
+        ("edge_pallas", jnp.float32),
         ("baseline", jnp.float32),
         ("nodraws", jnp.float32),
         ("iotascat", jnp.float32),

@@ -63,28 +63,58 @@ class LINE(PairModelBase):
         negatives: int,
         collision: str = "sum",
         shared_negatives: int = 128,
+        group: int = 1,
+        use_pallas: bool = False,
     ):
         """shared_negatives > 0 (default): draw one pool of that many
         negatives per step and run the MXU fast path (see
         ops.update.sgns_shared_negs_step); 0 = strict per-sample negatives
-        like the reference."""
+        like the reference.
+
+        group > 1: each drawn source contributes ``group`` consecutive
+        context samples (walk-style source reuse; same conditional context
+        law and source marginal, verified at AUC parity on the bench
+        graph) -- shrinks the source-side draw/gather/scatter by the group
+        factor. use_pallas: fused gradient kernel (TPU backend only)."""
         order = self.order
 
         if shared_negatives:
             Ks = shared_negatives
 
+            def draw_grouped(tables, key):
+                bg = batch // group
+                u = jax.random.uniform(key, (batch, 4))
+                src_small, pos0 = tables.edge_sample(
+                    key, (bg,), u2=u[:bg, 0:2]
+                )
+                src = jnp.repeat(src_small, group)
+                pos = tables.target_sample(key, src, u2=u[:, 2:4])
+                pos = pos.at[::group].set(pos0)
+                # rows bg..bg+Ks of cols 0:2 are unused by the edge draw
+                negs = tables.negative_sample(
+                    key, (Ks,), u2=u[bg : bg + Ks, 0:2]
+                )
+                return src, pos, negs
+
             def step(state, tables, key, alpha):
-                src, pos, negs = tables.draw_edge_batch(key, batch, Ks)
+                grouped = group > 1 and tables.has_edge_table
+                if grouped:
+                    src, pos, negs = draw_grouped(tables, key)
+                else:
+                    src, pos, negs = tables.draw_edge_batch(key, batch, Ks)
+                kw = dict(
+                    k_equiv=negatives, collision=collision,
+                    src_group=group if grouped else 1, use_pallas=use_pallas,
+                )
                 if order == 1:
                     w, _, loss = sgns_shared_negs_step(
                         state["vertex"], state["vertex"], src, pos, negs,
-                        alpha, k_equiv=negatives, shared_table=True,
-                        collision=collision,
+                        alpha, shared_table=True, **kw,
                     )
                     return {"vertex": w}, loss
                 wv, wc, loss = sgns_shared_negs_step(
                     state["vertex"], state["context"], src, pos, negs,
-                    alpha, k_equiv=negatives, collision=collision,
+                    alpha, **kw,
                 )
                 return {"vertex": wv, "context": wc}, loss
 
@@ -117,14 +147,21 @@ class LINE(PairModelBase):
         steps_per_call: int = 128,
         collision: str = "sum",
         shared_negatives: int = 128,
+        group: int = 8,
+        use_pallas: bool = False,  # fused grads kernel; wins only in the
+        # UNgrouped config (18.7 vs 18.0 M samples/s) -- in grouped mode
+        # XLA's own overlap of draws and grads is faster (PERF_NOTES.md)
         mesh=None,
         verbose: bool = True,
     ) -> None:
         total = int(sample_times * 1_000_000)
         if shared_negatives:
             shared_negatives = min(shared_negatives, batch)
+        if group > 1 and batch % group:
+            raise ValueError(f"batch {batch} not divisible by group {group}")
         driver = TrainDriver(
-            self._make_step(batch, negative_samples, collision, shared_negatives),
+            self._make_step(batch, negative_samples, collision,
+                            shared_negatives, group, use_pallas),
             ctx=self.build_sampler(),
             samples_per_step=batch,
             alpha=alpha,

@@ -244,52 +244,85 @@ def sgns_shared_negs_step(
     update_vertex: bool = True,
     reg: float = 0.0,  # L2 shrink, reference Opt_SigmoidRegSGD
     collision: str = "sum",
+    src_group: int = 1,  # src has repeat-layout groups of this size
+    use_pallas: bool = False,  # fused grads kernel (TPU only)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """src_group > 1: ``src`` must be ``jnp.repeat(src_small, G)`` -- each
+    source contributes G consecutive samples (the walk-style reuse of the
+    reference's SkipGrams, proNet.cpp:726-790, applied to edge sampling);
+    the source-side delta is segment-summed in-register so the gather and
+    scatter shrink by G. Requires mask=None."""
     Ks = negs.shape[0]
-    v = w_vertex.at[src].get(mode="promise_in_bounds")  # (B, D)
+    B = src.shape[0]
+    if src_group > 1:
+        assert mask is None and B % src_group == 0
+        src_small = src[::src_group]
+        v_small = w_vertex.at[src_small].get(mode="promise_in_bounds")
+        v = jnp.repeat(v_small, src_group, axis=0)
+    else:
+        v = w_vertex.at[src].get(mode="promise_in_bounds")  # (B, D)
     cp = w_context.at[pos].get(mode="promise_in_bounds")  # (B, D)
     cn = w_context.at[negs].get(mode="promise_in_bounds")  # (Ks, D)
 
-    s_pos = jax.nn.sigmoid(jnp.einsum("bd,bd->b", v, cp))
-    f_neg = jnp.dot(v, cn.T, preferred_element_type=jnp.float32)  # MXU
-    s_neg = jax.nn.sigmoid(f_neg)
+    if use_pallas and mask is None and not reg and B % min(1024, B) == 0:
+        from smore_tpu.ops.pallas_sgns import sgns_shared_grads_pallas
 
-    g_pos = _maybe_mask((1.0 - s_pos) * alpha, mask)
-    g_neg = (0.0 - s_neg) * (alpha * (k_equiv / Ks))
-    if mask is not None:
-        g_neg = g_neg * mask[:, None]
+        d_src, d_pos, d_neg = sgns_shared_grads_pallas(
+            v, cp, cn, alpha, k_equiv=k_equiv
+        )
+        m = min(1024, B)
+        s_pos = jax.nn.sigmoid(jnp.einsum("bd,bd->b", v[:m], cp[:m]))
+        s_neg = jax.nn.sigmoid(
+            jnp.dot(v[:m], cn.T, preferred_element_type=jnp.float32)
+        )
+    else:
+        s_pos_full = jax.nn.sigmoid(jnp.einsum("bd,bd->b", v, cp))
+        f_neg = jnp.dot(v, cn.T, preferred_element_type=jnp.float32)  # MXU
+        s_neg_full = jax.nn.sigmoid(f_neg)
 
-    d_src = g_pos[:, None] * cp + jnp.dot(
-        g_neg, cn, preferred_element_type=jnp.float32
-    )
-    d_pos = g_pos[:, None] * v
-    d_neg = jnp.dot(g_neg.T, v, preferred_element_type=jnp.float32)  # (Ks,D)
+        g_pos = _maybe_mask((1.0 - s_pos_full) * alpha, mask)
+        g_neg = (0.0 - s_neg_full) * (alpha * (k_equiv / Ks))
+        if mask is not None:
+            g_neg = g_neg * mask[:, None]
 
-    if reg:
-        # Reference Opt_SigmoidRegSGD (proNet.cpp:1332-1350) shrinks both
-        # rows by alpha*reg per pair; applied once per batch occurrence.
-        ar = alpha * reg
-        m1 = 1.0 if mask is None else mask[:, None]
-        d_src = d_src - ar * v * m1
-        d_pos = d_pos - ar * cp * m1
-        d_neg = d_neg - ar * cn * (k_equiv / Ks)
+        d_src = g_pos[:, None] * cp + jnp.dot(
+            g_neg, cn, preferred_element_type=jnp.float32
+        )
+        d_pos = g_pos[:, None] * v
+        d_neg = jnp.dot(g_neg.T, v, preferred_element_type=jnp.float32)
+
+        if reg:
+            # Reference Opt_SigmoidRegSGD (proNet.cpp:1332-1350) shrinks
+            # both rows by alpha*reg per pair, once per batch occurrence.
+            ar = alpha * reg
+            m1 = 1.0 if mask is None else mask[:, None]
+            d_src = d_src - ar * v * m1
+            d_pos = d_pos - ar * cp * m1
+            d_neg = d_neg - ar * cn * (k_equiv / Ks)
+        m = min(1024, B)
+        s_pos, s_neg = s_pos_full[:m], s_neg_full[:m]
 
     # Monitoring loss on a row subsample only: the full (B, Ks) log would
     # cost millions of transcendentals per step and dominates the step time.
     eps = 1e-7
-    m = min(1024, s_pos.shape[0])
-    ce = -jnp.log(s_pos[:m] + eps) - (k_equiv / Ks) * jnp.sum(
-        jnp.log(1.0 - s_neg[:m] + eps), axis=-1
+    ce = -jnp.log(s_pos + eps) - (k_equiv / Ks) * jnp.sum(
+        jnp.log(1.0 - s_neg + eps), axis=-1
     )
     if mask is not None:
         loss = jnp.sum(ce * mask[:m]) / jnp.maximum(mask[:m].sum(), 1.0)
     else:
         loss = jnp.mean(ce)
 
+    if src_group > 1:
+        d_src = d_src.reshape(B // src_group, src_group, -1).sum(axis=1)
+        src_entry = (src_small, d_src)
+    else:
+        src_entry = (src, d_src, mask)
+
     if shared_table:
         w = scatter_apply(
             w_vertex,
-            [(src, d_src, mask), (pos, d_pos, mask), (negs, d_neg)],
+            [src_entry, (pos, d_pos, mask), (negs, d_neg)],
             collision,
         )
         return w, w, loss
@@ -297,7 +330,7 @@ def sgns_shared_negs_step(
         w_context, [(pos, d_pos, mask), (negs, d_neg)], collision
     )
     if update_vertex:
-        w_vertex = scatter_apply(w_vertex, [(src, d_src, mask)], collision)
+        w_vertex = scatter_apply(w_vertex, [src_entry], collision)
     return w_vertex, w_context, loss
 
 
