@@ -76,11 +76,11 @@ def measure_ours() -> float:
     m.init(dim=DIM, order=2)
     # warmup / compile
     m.train(sample_times=1, negative_samples=NEGS, alpha=ALPHA,
-            batch=BATCH, steps_per_call=384, verbose=False)
+            batch=BATCH, steps_per_call=1280, verbose=False)
     float(m.state["vertex"][0, 0])
     t0 = time.time()
     m.train(sample_times=OUR_SAMPLE_TIMES, negative_samples=NEGS, alpha=ALPHA,
-            batch=BATCH, steps_per_call=384, verbose=False)
+            batch=BATCH, steps_per_call=1280, verbose=False)
     float(m.state["vertex"][0, 0])
     dt = time.time() - t0
     return OUR_SAMPLE_TIMES * 1e6 / dt

@@ -64,6 +64,10 @@ def _bt(args, default):
 def _line(argv):
     p = _base_parser("line")
     p.add_argument("-order", type=int, default=2)
+    p.add_argument("-group", type=int, default=8,
+                   help="contexts drawn per source per step (1 = strict "
+                        "per-sample sources; >1 is walk-style reuse, "
+                        "AUC-parity verified)")
     a = p.parse_args(argv)
     from smore_tpu.models import LINE
 
@@ -71,7 +75,7 @@ def _line(argv):
     m.init(dim=a.dimensions, order=a.order)
     kw = {"batch": a.batch} if a.batch else {}
     m.train(sample_times=a.sample_times, negative_samples=a.negative_samples,
-            alpha=a.alpha, **kw)
+            alpha=a.alpha, group=a.group, **kw)
     m.save_weights(a.save)
 
 

@@ -73,8 +73,11 @@ class HPE(PairModelBase):
 
         def step(state, tables, key, alpha):
             k1, k2, k3, k4 = jax.random.split(key, 4)
-            src = tables.source_sample(k1, (batch,))
-            pos = tables.target_sample(k2, src)
+            if tables.has_edge_table:
+                src, pos = tables.edge_sample(k1, (batch,))
+            else:
+                src = tables.source_sample(k1, (batch,))
+                pos = tables.target_sample(k2, src)
             negs = tables.negative_sample(k3, (shared_negatives,))
 
             wv, wc = state["vertex"], state["context"]

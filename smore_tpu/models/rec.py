@@ -45,8 +45,12 @@ class _SharedTableRec(PairModelBase):
 
         def step(state, tables, key, alpha):
             k1, k2, k3 = jax.random.split(key, 3)
-            src = tables.source_sample(k1, (batch,))
-            pos = tables.target_sample(k2, src)
+            if tables.has_edge_table:
+                # one-gather joint (user, item) draw, same two-stage law
+                src, pos = tables.edge_sample(k1, (batch,))
+            else:
+                src = tables.source_sample(k1, (batch,))
+                pos = tables.target_sample(k2, src)
             negs = tables.negative_sample(k3, (batch, R))
             w, loss = self._kernel(state, src, pos, negs, alpha, collision)
             return {"vertex": w}, loss
