@@ -122,3 +122,20 @@ class CTDNE:
 
     def save_weights(self, path: str) -> None:
         save_embeddings(path, self.tg.names, np.asarray(self.state["vertex"]))
+
+    def compute_temporal_coherence(self, samples: int = 1000,
+                                   seed: int = 0) -> float:
+        """Mean cosine similarity over sampled temporally-connected pairs
+        (reference ctdne.go:249-281)."""
+        tg = self.tg
+        if tg.n_edges == 0:
+            return 0.0
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, tg.n_edges, min(samples, tg.n_edges))
+        src = np.repeat(np.arange(tg.n_vertices), np.diff(tg.indptr))[idx]
+        dst = tg.edge_dst[idx]
+        emb = np.asarray(self.state["vertex"])
+        nemb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-12)
+        sims = np.sum(nemb[src] * nemb[dst], axis=1)
+        sims = sims[np.isfinite(sims)]
+        return float(sims.mean()) if len(sims) else 0.0

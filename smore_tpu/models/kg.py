@@ -137,6 +137,34 @@ class _KGBase:
 
         return jax.jit(step, donate_argnums=(0,))
 
+    def evaluate_link_prediction(self, test_triples: int = 1000,
+                                 num_negatives: int = 10,
+                                 seed: int = 0):
+        """Rank each of the last ``test_triples`` true triples against
+        ``num_negatives`` corrupted-head negatives; returns (MRR, hits@3)
+        following the reference protocol (complex.go:321-364, where
+        MRR = 1 / mean(rank))."""
+        import jax.numpy as jnp
+
+        kg = self.kg
+        t = min(test_triples, kg.n_triples)
+        h = jnp.asarray(kg.heads[-t:]);  r = jnp.asarray(kg.relations[-t:])
+        tl = jnp.asarray(kg.tails[-t:])
+        correct = self._score(self.state, h, r, tl)  # (t,)
+        rng = np.random.default_rng(seed)
+        neg_h = jnp.asarray(
+            rng.integers(0, kg.n_entities, (num_negatives, t))
+        )
+        neg = jnp.stack(
+            [self._score(self.state, neg_h[i], r, tl)
+             for i in range(num_negatives)]
+        )  # (K, t)
+        better = (correct[None, :] > neg).sum(axis=0)  # (t,)
+        rank = np.asarray(num_negatives - better + 1, dtype=np.float64)
+        mrr = float(1.0 / rank.mean())
+        hits3 = float((rank <= 3).mean())
+        return mrr, hits3
+
     def train(
         self,
         epochs: int = 100,

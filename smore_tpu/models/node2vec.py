@@ -71,3 +71,15 @@ class Node2Vec(WalkSGNSBase):
             verbose=verbose,
             mesh=mesh,
         )
+
+    def compute_homophily(self, threshold: float = 0.5) -> float:
+        """Fraction of edges whose endpoint embeddings have cosine
+        similarity above ``threshold`` (reference node2vec.go:289-313)."""
+        import numpy as np
+
+        emb = np.asarray(self.state["vertex"])
+        nemb = emb / (np.linalg.norm(emb, axis=1, keepdims=True) + 1e-12)
+        g = self.graph
+        src = np.repeat(np.arange(g.n_vertices), np.diff(g.indptr))
+        sims = np.sum(nemb[src] * nemb[g.indices], axis=1)
+        return float(np.mean(sims > threshold)) if len(sims) else 0.0

@@ -147,3 +147,27 @@ class SNE:
             axis=1,
         )
         save_embeddings(path, self.net.names, out)
+
+    def predict_sign(self, u: int, v: int) -> float:
+        """Signed-link score: dot(source[u], target[v]) (reference
+        sne.go PredictSign); > 0 predicts a positive edge."""
+        s = np.asarray(self.state["source"][u])
+        t = np.asarray(self.state["target"][v])
+        return float(s @ t)
+
+    def compute_balance_ratio(self) -> float:
+        """Fraction of edges whose predicted sign matches the observed
+        sign (reference sne.go:361-392)."""
+        ws = np.asarray(self.state["source"])
+        wt = np.asarray(self.state["target"])
+        net = self.net
+        correct = total = 0
+        if len(net.pos_src):
+            s = np.sum(ws[net.pos_src] * wt[net.pos_dst], axis=1)
+            correct += int((s > 0).sum())
+            total += len(s)
+        if len(net.neg_src):
+            s = np.sum(ws[net.neg_src] * wt[net.neg_dst], axis=1)
+            correct += int((s < 0).sum())
+            total += len(s)
+        return correct / total if total else 0.0
