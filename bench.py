@@ -75,15 +75,22 @@ def measure_ours() -> float:
     m = LINE(g, seed=0)
     m.init(dim=DIM, order=2)
     # warmup / compile
+    # One device call for the whole budget: per-call dispatch through the
+    # remote-TPU tunnel costs ~200ms. Throughput divides by the samples
+    # ACTUALLY executed (the step count rounds up to whole calls).
+    spc = 1280
     m.train(sample_times=1, negative_samples=NEGS, alpha=ALPHA,
-            batch=BATCH, steps_per_call=1280, verbose=False)
+            batch=BATCH, steps_per_call=spc, verbose=False)
     float(m.state["vertex"][0, 0])
     t0 = time.time()
     m.train(sample_times=OUR_SAMPLE_TIMES, negative_samples=NEGS, alpha=ALPHA,
-            batch=BATCH, steps_per_call=1280, verbose=False)
+            batch=BATCH, steps_per_call=spc, verbose=False)
     float(m.state["vertex"][0, 0])
     dt = time.time() - t0
-    return OUR_SAMPLE_TIMES * 1e6 / dt
+    steps = -(-OUR_SAMPLE_TIMES * 1_000_000 // BATCH)
+    calls = -(-steps // spc)
+    executed = calls * spc * BATCH
+    return executed / dt
 
 
 def measure_reference() -> float:

@@ -104,24 +104,25 @@ def load_ref_embeddings(path):
     return ue, ie
 
 
-def run_reference():
-    out = "/tmp/bpr_ref_out.txt"
+def run_reference(model="bpr"):
+    out = f"/tmp/{model}_ref_out.txt"
     subprocess.run(
-        [os.path.join(REF_DIR, "cli", "bpr"),
+        [os.path.join(REF_DIR, "cli", model),
          "-train", TRAIN, "-save", out, "-dimensions", str(DIM),
          "-sample_times", str(SAMPLE_TIMES), "-alpha", "0.025",
          "-threads", str(os.cpu_count() or 1)],
-        check=True,
+        check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     return load_ref_embeddings(out)
 
 
-def run_ours():
+def run_ours(model="bpr"):
     from smore_tpu.graph.graph import Graph
-    from smore_tpu.models.rec import BPR
+    from smore_tpu.models import rec
 
+    cls = {"bpr": rec.BPR, "mf": rec.MF, "warp": rec.WARP}[model]
     g = Graph.load_edge_list(TRAIN, undirected=True)
-    m = BPR(g, seed=0)
+    m = cls(g, seed=0)
     m.init(dim=DIM)
     m.train(sample_times=1, verbose=False)  # warm/compile
     t0 = time.time()
@@ -141,12 +142,16 @@ def run_ours():
 
 def main():
     make_dataset()
-    ue, ie = run_ours()
-    auc, rec = evaluate(ue, ie)
-    print(f"ours      : AUC={auc:.4f}  recall@10={rec:.4f}", flush=True)
-    ue_r, ie_r = run_reference()
-    auc_r, rec_r = evaluate(ue_r, ie_r)
-    print(f"reference : AUC={auc_r:.4f}  recall@10={rec_r:.4f}", flush=True)
+    models = sys.argv[1:] or ["bpr"]
+    for model in models:
+        ue, ie = run_ours(model)
+        auc, rec = evaluate(ue, ie)
+        print(f"{model} ours      : AUC={auc:.4f}  recall@10={rec:.4f}",
+              flush=True)
+        ue_r, ie_r = run_reference(model)
+        auc_r, rec_r = evaluate(ue_r, ie_r)
+        print(f"{model} reference : AUC={auc_r:.4f}  recall@10={rec_r:.4f}",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -194,20 +194,7 @@ def make_step(tables, variant):
         cast = functools.partial(jnp.asarray, dtype=wv.dtype)
 
         if variant.startswith("edge_g"):
-            # joint edge draw for B/G (src, pos_0) pairs, then G-1 extra
-            # contexts per source via the per-vertex sub-table; grouped
-            # (repeat) layout so the src side segment-sums in-register
-            u = jax.random.uniform(key, (B, 4))
-            src_small, pos0 = tables.edge_sample(
-                key, (B // G,), u2=u[: B // G, 0:2]
-            )
-            src = jnp.repeat(src_small, G)
-            pos = tables.target_sample(key, src, u2=u[:, 2:4])
-            pos = pos.at[::G].set(pos0)
-            # rows B//G..B//G+KS of cols 0:2 are unused by the edge draw
-            negs = tables.negative_sample(
-                key, (KS,), u2=u[B // G : B // G + KS, 0:2]
-            )
+            src, pos, negs = tables.draw_edge_batch_grouped(key, B, G, KS)
         elif G > 1:
             u = jax.random.uniform(key, (B, 6))
             src_small = tables.source_sample(key, (B // G,), u2=u[: B // G, 0:2])
@@ -336,8 +323,11 @@ def main():
             results[name] = run_variant(name, tables, n, dtype)
         except Exception as e:  # keep sweeping past a broken variant
             print(f"{name:10s}  FAILED: {type(e).__name__}: {e}", flush=True)
-    best = max(results, key=results.get)
-    print(f"best: {best} at {results[best]/1e6:.2f} M samples/s")
+    if results:
+        best = max(results, key=results.get)
+        print(f"best: {best} at {results[best]/1e6:.2f} M samples/s")
+    else:
+        print("no variants ran (unknown name or all failed)")
 
 
 if __name__ == "__main__":

@@ -150,13 +150,16 @@ class _KGBase:
         t = min(test_triples, kg.n_triples)
         h = jnp.asarray(kg.heads[-t:]);  r = jnp.asarray(kg.relations[-t:])
         tl = jnp.asarray(kg.tails[-t:])
-        correct = self._score(self.state, h, r, tl)  # (t,)
+        # Normalize to higher-is-better: TransE/RotatE _score is a
+        # distance (lower = better fit), ComplEx a similarity.
+        sign = 1.0 if self._higher_is_better else -1.0
+        correct = sign * self._score(self.state, h, r, tl)  # (t,)
         rng = np.random.default_rng(seed)
         neg_h = jnp.asarray(
             rng.integers(0, kg.n_entities, (num_negatives, t))
         )
         neg = jnp.stack(
-            [self._score(self.state, neg_h[i], r, tl)
+            [sign * self._score(self.state, neg_h[i], r, tl)
              for i in range(num_negatives)]
         )  # (K, t)
         better = (correct[None, :] > neg).sum(axis=0)  # (t,)

@@ -81,25 +81,12 @@ class LINE(PairModelBase):
         if shared_negatives:
             Ks = shared_negatives
 
-            def draw_grouped(tables, key):
-                bg = batch // group
-                u = jax.random.uniform(key, (batch, 4))
-                src_small, pos0 = tables.edge_sample(
-                    key, (bg,), u2=u[:bg, 0:2]
-                )
-                src = jnp.repeat(src_small, group)
-                pos = tables.target_sample(key, src, u2=u[:, 2:4])
-                pos = pos.at[::group].set(pos0)
-                # rows bg..bg+Ks of cols 0:2 are unused by the edge draw
-                negs = tables.negative_sample(
-                    key, (Ks,), u2=u[bg : bg + Ks, 0:2]
-                )
-                return src, pos, negs
-
             def step(state, tables, key, alpha):
                 grouped = group > 1 and tables.has_edge_table
                 if grouped:
-                    src, pos, negs = draw_grouped(tables, key)
+                    src, pos, negs = tables.draw_edge_batch_grouped(
+                        key, batch, group, Ks
+                    )
                 else:
                     src, pos, negs = tables.draw_edge_batch(key, batch, Ks)
                 kw = dict(

@@ -265,7 +265,11 @@ def raw_choice_step(
         collision,
     )
     w_vertex = scatter_apply(w_vertex, [(vertex, d_u, mask)], collision)
-    loss = -jnp.log(jnp.clip(s_pos / jnp.maximum(z, 1e-9), 1e-9, None)).mean()
+    ce = -jnp.log(jnp.clip(s_pos / jnp.maximum(z, 1e-9), 1e-9, None))
+    if mask is None:
+        loss = ce.mean()
+    else:
+        loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
     return w_vertex, w_context, loss
 
 

@@ -650,7 +650,10 @@ def pu_sigmoid_step(
     )
     ce = jnp.where(is_pos, -jnp.log(jax.nn.sigmoid(f) + 1e-7),
                    -jnp.log(1.0 - jax.nn.sigmoid(f) + 1e-7)) * mb
-    loss = jnp.mean(ce)
+    if mask is None:
+        loss = jnp.mean(ce)
+    else:
+        loss = ce.sum() / jnp.maximum(mask.sum(), 1.0)
     return w_vertex, w_context, loss
 
 

@@ -160,10 +160,11 @@ class SamplerTables:
         na_safe = np.where(na < 0, idx, na)
         deg = np.diff(g.indptr)
 
-        # Joint edge table (see field docs). Only exact while vids fit in a
-        # float32 mantissa; degenerate (1,8) dummy otherwise (the dynamic
-        # path falls back to the two-stage draw).
-        if 0 < g.n_edges and n < (1 << 24):
+        # Joint edge table (see field docs). Only exact while vids fit in
+        # a float32 mantissa AND the slot index u*E stays unquantized
+        # (u is a float32 uniform with 2^24 distinct values); degenerate
+        # (1,8) dummy otherwise (dynamic paths fall back to two-stage).
+        if 0 < g.n_edges < (1 << 24) and n < (1 << 24):
             vmass = _vertex_distribution(g, vertex_method).astype(np.float64)
             vmass = np.where(vmass > 0, vmass**power, 0.0)
             w_pow = np.asarray(g.weights, dtype=np.float64)
@@ -308,4 +309,29 @@ class SamplerTables:
         src = self.source_sample(key, (batch,), u2=u[:, 0:2])
         pos = self.target_sample(key, src, u2=u[:, 2:4])
         negs = self.negative_sample(key, (n_negs,), u2=u[:n_negs, 4:6])
+        return src, pos, negs
+
+    def draw_edge_batch_grouped(
+        self, key: jax.Array, batch: int, group: int, n_negs: int
+    ):
+        """Grouped edge draw: batch//group (src, pos_0) pairs from the
+        joint edge table, then group-1 extra contexts per source via the
+        per-vertex sub-table. src comes back in repeat layout
+        (``jnp.repeat(src_small, group)``) so the source side can be
+        segment-summed in-register (ops.update.sgns_shared_negs_step
+        ``src_group``). Requires the edge table (has_edge_table)."""
+        bg = batch // group
+        u = jax.random.uniform(key, (batch, 4))
+        src_small, pos0 = self.edge_sample(key, (bg,), u2=u[:bg, 0:2])
+        src = jnp.repeat(src_small, group)
+        pos = self.target_sample(key, src, u2=u[:, 2:4])
+        pos = pos.at[::group].set(pos0)
+        if bg + n_negs <= batch:
+            # rows bg.. of cols 0:2 are unused by the edge draw
+            u_neg = u[bg : bg + n_negs, 0:2]
+        else:
+            u_neg = jax.random.uniform(
+                jax.random.fold_in(key, 1), (n_negs, 2)
+            )
+        negs = self.negative_sample(key, (n_negs,), u2=u_neg)
         return src, pos, negs
