@@ -116,3 +116,34 @@ def test_edge_sample_matches_two_stage_marginals(toy_graph, tables):
     e1 = np.bincount(np.asarray(src_joint), minlength=n) / 150_000
     e2 = np.bincount(np.asarray(src_two), minlength=n) / 150_000
     np.testing.assert_allclose(e1, e2, atol=0.012)
+
+
+def test_grouped_edge_batch_joint_law(toy_graph, tables):
+    """draw_edge_batch_grouped must preserve the per-sample (src, pos)
+    joint law of the ungrouped edge draw (sources repeat G times, each
+    with an independent conditional context)."""
+    import jax
+
+    G, B = 4, 40_000
+    src, pos, negs = tables.draw_edge_batch_grouped(
+        jax.random.PRNGKey(6), B, G, 16
+    )
+    src, pos = np.asarray(src), np.asarray(pos)
+    assert src.shape == (B,) and pos.shape == (B,)
+    assert (src.reshape(-1, G) == src.reshape(-1, G)[:, :1]).all()  # layout
+
+    g = toy_graph
+    vmass = g.out_degree**0.75
+    p_src = vmass / vmass.sum()
+    seg = np.repeat(np.arange(g.n_vertices), np.diff(g.indptr))
+    w75 = g.weights**0.75
+    z = np.bincount(seg, weights=w75, minlength=g.n_vertices)
+    expect = {}
+    for e in range(g.n_edges):
+        k = (seg[e], g.indices[e])
+        expect[k] = expect.get(k, 0.0) + p_src[seg[e]] * w75[e] / z[seg[e]]
+    emp = {}
+    for s, p in zip(src, pos):
+        emp[(s, p)] = emp.get((s, p), 0) + 1.0 / B
+    for k, v in expect.items():
+        assert abs(emp.get(k, 0.0) - v) < 0.015, (k, emp.get(k, 0.0), v)
