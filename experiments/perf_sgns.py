@@ -47,9 +47,9 @@ from bench import GRAPH_PATH, make_graph  # noqa: E402
 from smore_tpu.graph.graph import Graph  # noqa: E402
 from smore_tpu.sampling.tables import SamplerTables  # noqa: E402
 
-B = 32768
+B = int(__import__("os").environ.get("PERF_B", 32768))
 D = 64
-KS = 128
+KS = int(__import__("os").environ.get("PERF_KS", 128))
 K_EQUIV = 5
 S = 30  # scan steps per timed call
 ALPHA = 0.025
