@@ -119,8 +119,10 @@ def run_reference(model="bpr"):
 def run_ours(model="bpr"):
     from smore_tpu.graph.graph import Graph
     from smore_tpu.models import rec
+    from smore_tpu.models.hpe import HPE
 
-    cls = {"bpr": rec.BPR, "mf": rec.MF, "warp": rec.WARP}[model]
+    cls = {"bpr": rec.BPR, "mf": rec.MF, "warp": rec.WARP,
+           "skewopt": rec.SkewOPT, "hpe": HPE}[model]
     g = Graph.load_edge_list(TRAIN, undirected=True)
     m = cls(g, seed=0)
     m.init(dim=DIM)

@@ -505,8 +505,12 @@ def warp_step(
 # --------------------------------------------------------------------- #
 # Skew-OPT (UAI'20). Reference Opt_SBPRSGD (proNet.cpp:1070-1098) inside
 # UpdateSBPRPair (proNet.cpp:1517-1566, 16 negatives): on x = v.(ci-cj),
-# let t = (x - xi)/omega, clamp to [-2, 2] (skip if t > 2);
-# g = sigmoid(-t^eta) * eta' where eta' = t^(eta-1)/omega.
+# let t = (x - xi)/omega, clamp below at -2, SKIP the round if t > 2;
+# g = sigmoid(-t^eta) * t^(eta-1) / omega. Per SUCCESSFUL round the
+# reference L2-shrinks ci and cj by alpha*0.01 (hardcoded, the CLI's
+# -reg is ignored) then applies +/- g*v; the VERTEX delta is the
+# AVERAGE of g*(ci-cj) over successful rounds, with one alpha*0.01
+# shrink iff any round succeeded (proNet.cpp:1540-1565).
 # --------------------------------------------------------------------- #
 def skewbpr_step(
     w_vertex: jnp.ndarray,
@@ -518,41 +522,63 @@ def skewbpr_step(
     xi: float = 0.0,
     omega: float = 1.0,
     eta: int = 1,
-    reg_ctx: float = 0.0025,
-    reg_vtx: float = 0.025,
+    reg: float = 0.01,
     mask: Optional[jnp.ndarray] = None,
     shared_table: bool = False,
     collision: str = "sum",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     v = w_vertex.at[user].get(mode="promise_in_bounds")
-    ci = w_context.at[pos].get(mode="promise_in_bounds")
+    ci0 = w_context.at[pos].get(mode="promise_in_bounds")
     cj = w_context.at[negs].get(mode="promise_in_bounds")
 
-    diff = ci[:, None, :] - cj  # (B, R, D)
-    x = jnp.einsum("bd,brd->br", v, diff)
-    t = (x - xi) / omega
-    skip = t > 2.0  # reference: return 0 (no update)
-    t = jnp.clip(t, -2.0, None)
-    t_pow = t**eta  # t^eta
-    # chain rule factor t^(eta-1); eta is static so resolve at trace time
-    chain = jnp.ones_like(t) if eta == 1 else t ** (eta - 1)
-    g = jax.nn.sigmoid(-t_pow) * chain / omega * alpha
-    g = jnp.where(skip, 0.0, g)
-    if mask is not None:
-        g = g * mask[:, None]
-        m1 = mask[:, None]
-    else:
-        m1 = 1.0
+    # The reference applies each successful round's shrink+update to
+    # w_context[ci] IN PLACE before the next round recomputes
+    # x = v.(ci - cj) (proNet.cpp:1532-1553), so ci must evolve across
+    # the R rounds; a lax.scan keeps it in registers. v stays fixed
+    # (vertex_err is deferred to the end).
+    ar = alpha * reg
+    maskb = None if mask is None else mask.astype(w_vertex.dtype)
+
+    def round_fn(carry, cj_r):
+        ci_cur, ev, n_succ, loss_acc = carry
+        x = jnp.sum(v * (ci_cur - cj_r), axis=-1)  # (B,)
+        t = (x - xi) / omega
+        succ = (t <= 2.0).astype(w_vertex.dtype)
+        if maskb is not None:
+            succ = succ * maskb
+        t = jnp.clip(t, -2.0, None)
+        t_pow = t**eta
+        # chain factor t^(eta-1); eta is static, resolved at trace time
+        chain = jnp.ones_like(t) if eta == 1 else t ** (eta - 1)
+        g = jax.nn.sigmoid(-t_pow) * chain / omega * alpha * succ
+        ci_next = ci_cur + (-ar * ci_cur + g[:, None] * v) * succ[:, None]
+        d_cj_r = (-ar * cj_r - g[:, None] * v) * succ[:, None]
+        ev = ev + g[:, None] * (ci_cur - cj_r)
+        return (
+            ci_next,
+            ev,
+            n_succ + succ,
+            loss_acc + jnp.mean(jax.nn.softplus(-x)),
+        ), d_cj_r
 
     R = negs.shape[1]
-    ar_c = alpha * reg_ctx
-    d_ci = jnp.einsum("br,bd->bd", g, v) - ar_c * R * ci * m1
-    d_cj = -g[:, :, None] * v[:, None, :] - ar_c * cj * (
-        1.0 if mask is None else mask[:, None, None]
+    init = (
+        ci0,
+        jnp.zeros_like(ci0),
+        jnp.zeros(ci0.shape[0], dtype=w_vertex.dtype),
+        jnp.zeros((), dtype=w_vertex.dtype),
     )
-    d_v = jnp.einsum("br,brd->bd", g, diff) - alpha * reg_vtx * v * m1
-
-    B, _, D = d_cj.shape
+    (ci_fin, ev, n_succ, loss_acc), d_cj_scan = jax.lax.scan(
+        round_fn, init, jnp.swapaxes(cj, 0, 1)
+    )
+    any_succ = (n_succ > 0).astype(w_vertex.dtype)
+    d_ci = ci_fin - ci0
+    d_cj = jnp.swapaxes(d_cj_scan, 0, 1)  # (B, R, D)
+    d_v = (
+        ev / jnp.maximum(n_succ, 1.0)[:, None]
+        - ar * v * any_succ[:, None]
+    )
+    B, R, D = d_cj.shape
     mask_r = None if mask is None else jnp.repeat(mask, R)
     w_vertex, w_context = apply_two_tables(
         w_vertex,
@@ -565,7 +591,7 @@ def skewbpr_step(
         shared_table=shared_table,
         collision=collision,
     )
-    loss = jnp.mean(jax.nn.softplus(-x))
+    loss = loss_acc / R  # mean per-round softplus(-x)
     return w_vertex, w_context, loss
 
 
@@ -855,21 +881,27 @@ def fbpr_step(
 
     diff = ci[:, None, :] - cj
     f = jnp.einsum("bd,brd->br", v, diff)
+    # Margin gating: Opt_FBPRSGD returns 0 when f > margin and the
+    # reference then skips the round's reg AND update; the vertex error
+    # is AVERAGED over successful rounds, shrunk once iff any succeeded
+    # (proNet.cpp:1492-1515).
     active = (f <= margin_b[:, None]).astype(w_vertex.dtype)
     g = jax.nn.sigmoid(-f) * alpha_b[:, None] * active
     if mask is not None:
         g = g * mask[:, None]
-        act_any = mask
-    else:
-        act_any = jnp.ones_like(alpha_b)
+        active = active * mask[:, None]
 
-    R = negs.shape[1]
+    n_act = active.sum(axis=-1)  # (B,)
+    act_any = (n_act > 0).astype(w_vertex.dtype)
     ar_c = (alpha_b * reg_ctx)[:, None]
-    d_ci = jnp.einsum("br,bd->bd", g, v) - ar_c * R * ci * act_any[:, None]
-    d_cj = -g[:, :, None] * v[:, None, :] - ar_c[:, :, None] * cj * act_any[:, None, None]
-    d_v = jnp.einsum("br,brd->bd", g, diff) - (alpha_b * reg_vtx)[:, None] * v * act_any[:, None]
+    d_ci = jnp.einsum("br,bd->bd", g, v) - ar_c * n_act[:, None] * ci
+    d_cj = -g[:, :, None] * v[:, None, :] - ar_c[:, :, None] * cj * active[:, :, None]
+    d_v = (
+        jnp.einsum("br,brd->bd", g, diff) / jnp.maximum(n_act, 1.0)[:, None]
+        - (alpha_b * reg_vtx)[:, None] * v * act_any[:, None]
+    )
 
-    B, _, D = d_cj.shape
+    B, R, D = d_cj.shape
     mask_r = None if mask is None else jnp.repeat(mask, R)
     w_vertex, w_context = apply_two_tables(
         w_vertex,

@@ -206,3 +206,54 @@ def test_fbpr_margin_skip(small_tables):
     )
     np.testing.assert_allclose(np.asarray(out_v), wv, atol=1e-7)
     np.testing.assert_allclose(np.asarray(out_c), wc, atol=1e-7)
+
+
+def test_skewbpr_reference_semantics_oracle():
+    """NumPy oracle for UpdateSBPRPair semantics (proNet.cpp:1517-1566):
+    per-round success gating (t > 2 skips the round entirely, incl. reg),
+    per-successful-round alpha*0.01 shrink of ci and cj, the vertex
+    delta AVERAGED over successful rounds with one shrink iff any
+    succeeded, and ci EVOLVING in place across rounds (each round's
+    x = v.(ci-cj) sees the previous rounds' ci updates)."""
+    rng = np.random.default_rng(42)
+    n, d, R = 8, 4, 3
+    wv = rng.normal(0, 0.3, (n, d)).astype(np.float32)
+    wc = rng.normal(0, 0.3, (n, d)).astype(np.float32)
+    user, pos = 0, 1
+    negs = np.array([[2, 3, 4]])
+    alpha, xi, omega, eta, reg = 0.1, 0.5, 1.0, 3, 0.01
+
+    v, ci = wv[user], wc[pos].astype(np.float64)
+    ev = np.zeros(d)
+    dwc = {}
+    n_succ = 0
+    for r in range(R):
+        cj = wc[negs[0, r]]
+        x = float(v @ (ci - cj))
+        t = (x - xi) / omega
+        if t > 2.0:
+            continue
+        t = max(t, -2.0)
+        g = 1.0 / (1.0 + np.exp(t**eta)) * t ** (eta - 1) / omega * alpha
+        n_succ += 1
+        ev += g * (ci - cj)
+        ci = ci - alpha * reg * ci + g * v  # in-place ci evolution
+        dwc[negs[0, r]] = (
+            dwc.get(negs[0, r], np.zeros(d)) - alpha * reg * cj - g * v
+        )
+    dwc[pos] = dwc.get(pos, np.zeros(d)) + (ci - wc[pos])
+    exp_v = wv.copy()
+    if n_succ:
+        exp_v[user] += ev / n_succ - alpha * reg * v
+    exp_c = wc.copy()
+    for k, dv in dwc.items():
+        exp_c[k] += dv
+
+    out_v, out_c, _ = skewbpr_step(
+        jnp.asarray(wv), jnp.asarray(wc), jnp.array([user]),
+        jnp.array([pos]), jnp.asarray(negs), jnp.float32(alpha),
+        xi=xi, omega=omega, eta=eta, reg=reg,
+    )
+    assert n_succ > 0  # the fixture must exercise the live branch
+    np.testing.assert_allclose(np.asarray(out_v), exp_v, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_c), exp_c, atol=1e-5)
