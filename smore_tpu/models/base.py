@@ -44,6 +44,23 @@ StepFn = Callable[
 ALPHA_MIN_FRAC = 1e-4  # reference: alpha_min = alpha * 0.0001
 
 
+def clamp_batch(n_rows: int, batch: int, group: int = 1) -> int:
+    """Stability guard for collision="sum" batched updates.
+
+    A batched step applies each row's SUMMED in-batch gradient against one
+    stale table snapshot; when batch greatly exceeds the table's row count
+    every row absorbs ~batch/n_rows gradients at once and the update
+    overshoots (the reference applies them sequentially, so it cannot).
+    The 32768 default batch NaNs on the README 6-vertex toy net
+    (README.md:49-66) without this. Empirical bound on the 50k-vertex
+    bench graph: batch=32768 passes the 40M-sample AUC gate, 65536 fails
+    (PERF_NOTES.md) -- so cap batch at n_rows, keeping it a multiple of
+    the source draw group.
+    """
+    b = max(min(batch, n_rows), group)
+    return max(b - b % group, group)
+
+
 def init_embedding(
     key: jax.Array, rows: int, dim: int, scale: Optional[float] = None
 ) -> jnp.ndarray:

@@ -31,7 +31,7 @@ import numpy as np
 
 from smore_tpu.graph.graph import Graph
 from smore_tpu.io.embeddings import save_embeddings
-from smore_tpu.models.base import TrainDriver, init_embedding
+from smore_tpu.models.base import clamp_batch, TrainDriver, init_embedding
 from smore_tpu.sampling.tables import SamplerTables
 
 
@@ -132,6 +132,9 @@ class CPR:
     def train(self, update_times: int = 10, alpha: float = 0.025,
               batch: int = 4096, steps_per_call: int = 64,
               collision: str = "sum", verbose: bool = True) -> None:
+        batch = clamp_batch(
+            min(self.target.n_vertices, self.source.n_vertices), batch
+        )
         driver = TrainDriver(
             self._make_step(batch, collision),
             ctx=self._make_ctx(),
@@ -252,6 +255,9 @@ class TPR:
     def train(self, sample_times: int = 10, alpha: float = 0.025,
               batch: int = 4096, steps_per_call: int = 64,
               collision: str = "sum", verbose: bool = True) -> None:
+        batch = clamp_batch(
+            min(self.ui.n_vertices, self.iw.n_vertices), batch
+        )
         driver = TrainDriver(
             self._make_step(batch, collision),
             ctx=self._make_ctx(),

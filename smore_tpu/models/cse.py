@@ -26,6 +26,7 @@ import numpy as np
 
 from smore_tpu.io.embeddings import save_embeddings
 from smore_tpu.models.base import (
+    clamp_batch,
     PairModelBase,
     TrainDriver,
     init_embedding,
@@ -131,6 +132,7 @@ class _CSEBase(PairModelBase):
         verbose: bool = True,
     ) -> None:
         self.walk_steps = walk_steps
+        batch = clamp_batch(self.graph.n_vertices, batch)
         driver = TrainDriver(
             self._make_step(batch, negative_samples, shared_negatives, collision),
             ctx=self._make_ctx(),

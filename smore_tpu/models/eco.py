@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from smore_tpu.models.base import PairModelBase, TrainDriver, init_embedding
+from smore_tpu.models.base import clamp_batch, PairModelBase, TrainDriver, init_embedding
 from smore_tpu.ops.community import dchoice_step
 from smore_tpu.sampling.fields import FieldTables
 
@@ -79,6 +79,7 @@ class ECO(PairModelBase):
         verbose: bool = True,
     ) -> None:
         self.reg = reg
+        batch = clamp_batch(self.graph.n_vertices, batch)
         driver = TrainDriver(
             self._make_step(batch, negative_samples, collision),
             ctx=self._make_ctx(),

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from smore_tpu.io.embeddings import save_embeddings
-from smore_tpu.models.base import PairModelBase, TrainDriver, init_embedding
+from smore_tpu.models.base import clamp_batch, PairModelBase, TrainDriver, init_embedding
 from smore_tpu.ops.community import field_community_step
 from smore_tpu.sampling.fields import FieldTables
 from smore_tpu.sampling.walks import random_walk
@@ -108,6 +108,7 @@ class FINE(PairModelBase):
         verbose: bool = True,
     ) -> None:
         self.walk_steps = walk_steps
+        batch = clamp_batch(self.graph.n_vertices, batch)
         driver = TrainDriver(
             self._make_step(batch, negative_samples, collision),
             ctx=self._make_ctx(),

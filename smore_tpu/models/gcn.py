@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from smore_tpu.models.base import (
+    clamp_batch,
     PairModelBase,
     TrainDriver,
     init_embedding,
@@ -124,6 +125,17 @@ class GCN(PairModelBase):
     ) -> None:
         self.walk_steps = walk_steps
         self.reg = reg
+        # CBOW aggregates 2*S neighbor rows per sample, so the stale-
+        # snapshot overshoot kicks in at batch ~ n/(2S) rather than ~n
+        # (diverges on the toy nets otherwise); production configs are
+        # unaffected (50k-vertex graph: bound 5000 > default 2048).
+        batch = clamp_batch(
+            max(1, self.graph.n_vertices // (2 * walk_steps)), batch
+        )
+        if self.graph.n_vertices <= 4 * walk_steps:
+            # graph smaller than one sample's neighbor bag: collisions are
+            # unavoidable even at batch=1, "sum" oscillates and diverges
+            collision = "mean"
         driver = TrainDriver(
             self._make_step(batch, negative_samples, collision),
             ctx=self._make_ctx(),
@@ -305,6 +317,14 @@ class TEXTGCNdev(GCN):
         self.reg = reg
         from smore_tpu.models.base import TrainDriver
 
+        # see GCN.train: CBOW fan-out lowers the stable batch bound
+        batch = clamp_batch(
+            max(1, self.graph.n_vertices // (num_events + num_words)), batch
+        )
+        if self.graph.n_vertices <= num_events * num_words:
+            # word bag bigger than the graph: within-sample collisions are
+            # unavoidable, "sum" oscillates and diverges even at batch=1
+            collision = "mean"
         driver = TrainDriver(
             self._make_step(batch, negative_samples, collision),
             ctx=self._make_ctx(),

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from smore_tpu.models.base import (
+    clamp_batch,
     PairModelBase,
     TrainDriver,
     init_embedding,
@@ -112,6 +113,7 @@ class HOPREC(PairModelBase):
     ) -> None:
         self.walk_steps = walk_steps
         self.margin = margin
+        batch = clamp_batch(self.graph.n_vertices, batch)
         driver = TrainDriver(
             self._make_step(batch, collision),
             ctx=self._make_ctx(),

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from smore_tpu.models.base import (
+    clamp_batch,
     PairModelBase,
     TrainDriver,
     init_embedding,
@@ -111,6 +112,7 @@ class HPE(PairModelBase):
     ) -> None:
         self.walk_steps = walk_steps
         self.reg = reg
+        batch = clamp_batch(self.graph.n_vertices, batch)
         driver = TrainDriver(
             self._make_step(batch, negative_samples, shared_negatives, collision),
             ctx=self.build_sampler(),
@@ -163,6 +165,7 @@ class PE(PairModelBase):
         collision: str = "sum",
         verbose: bool = True,
     ) -> None:
+        batch = clamp_batch(self.graph.n_vertices, batch)
         driver = TrainDriver(
             self._make_step(batch, negative_samples, shared_negatives, collision),
             ctx=self.build_sampler(),

@@ -37,6 +37,7 @@ import numpy as np
 
 from smore_tpu.graph.knowledge import KnowledgeGraph
 from smore_tpu.io.embeddings import save_embeddings
+from smore_tpu.models.base import clamp_batch
 
 
 def _uniform_init(key, rows, dim, scale):
@@ -177,6 +178,7 @@ class _KGBase:
     ) -> None:
         kg = self.kg
         n = kg.n_triples
+        batch = clamp_batch(min(n, kg.n_entities), batch)
         n_batches = max(1, n // batch)
         step = self._make_step(batch)
         renorm = jax.jit(self._renorm, donate_argnums=(0,))

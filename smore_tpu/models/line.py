@@ -28,6 +28,7 @@ from smore_tpu.graph.graph import Graph
 from smore_tpu.models.base import (
     PairModelBase,
     TrainDriver,
+    clamp_batch,
     init_embedding,
     zeros_embedding,
 )
@@ -142,10 +143,11 @@ class LINE(PairModelBase):
         verbose: bool = True,
     ) -> None:
         total = int(sample_times * 1_000_000)
-        if shared_negatives:
-            shared_negatives = min(shared_negatives, batch)
         if group > 1 and batch % group:
             raise ValueError(f"batch {batch} not divisible by group {group}")
+        batch = clamp_batch(self.graph.n_vertices, batch, group=group)
+        if shared_negatives:
+            shared_negatives = min(shared_negatives, batch)
         driver = TrainDriver(
             self._make_step(batch, negative_samples, collision,
                             shared_negatives, group, use_pallas),

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from smore_tpu.models.base import (
+    clamp_batch,
     PairModelBase,
     TrainDriver,
     init_embedding,
@@ -72,6 +73,7 @@ class _SharedTableRec(PairModelBase):
             if not hasattr(self, k):
                 raise TypeError(f"unknown train arg {k!r}")
             setattr(self, k, v)
+        batch = clamp_batch(self.graph.n_vertices, batch)
         driver = TrainDriver(
             self._make_step(batch, collision),
             ctx=self.build_sampler(),

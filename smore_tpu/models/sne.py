@@ -21,7 +21,7 @@ import numpy as np
 
 from smore_tpu.graph.signed import SignedNetwork
 from smore_tpu.io.embeddings import save_embeddings
-from smore_tpu.models.base import TrainDriver, init_embedding
+from smore_tpu.models.base import clamp_batch, TrainDriver, init_embedding
 from smore_tpu.ops.update import sgns_step
 
 
@@ -55,21 +55,29 @@ class SNE:
         n = net.n_vertices
         pos_edges = (jnp.asarray(net.pos_src), jnp.asarray(net.pos_dst))
         neg_edges = (jnp.asarray(net.neg_src), jnp.asarray(net.neg_dst))
-        n_pos = max(1, len(net.pos_src))
+        n_pos = len(net.pos_src)
         n_neg = len(net.neg_src)
+        if n_pos == 0 and n_neg == 0:
+            raise ValueError(
+                "signed network has no edges -- accepted sign tokens are "
+                "+1/1/pos/positive, -1/neg/negative, or any numeric value "
+                "(reference pkg/signed/signed_network.go:86-103)"
+            )
 
         def step(state, _, key, alpha):
             k1, k2, k3, k4 = jax.random.split(key, 4)
             ws, wt = state["source"], state["target"]
 
-            # positive edges: standard SGNS (uniform negatives)
-            i = jax.random.randint(k1, (batch,), 0, n_pos)
-            u_p = pos_edges[0].at[i].get(mode="promise_in_bounds")
-            v_p = pos_edges[1].at[i].get(mode="promise_in_bounds")
-            negs = jax.random.randint(k2, (batch, K), 0, n)
-            ws, wt, l1 = sgns_step(
-                ws, wt, u_p, v_p, negs, alpha, collision=collision
-            )
+            l1 = jnp.float32(0.0)
+            if n_pos > 0:
+                # positive edges: standard SGNS (uniform negatives)
+                i = jax.random.randint(k1, (batch,), 0, n_pos)
+                u_p = pos_edges[0].at[i].get(mode="promise_in_bounds")
+                v_p = pos_edges[1].at[i].get(mode="promise_in_bounds")
+                negs = jax.random.randint(k2, (batch, K), 0, n)
+                ws, wt, l1 = sgns_step(
+                    ws, wt, u_p, v_p, negs, alpha, collision=collision
+                )
 
             l2 = jnp.float32(0.0)
             if n_neg > 0:
@@ -129,6 +137,7 @@ class SNE:
             * samples_per_edge
             * (len(self.net.pos_src) + len(self.net.neg_src))
         )
+        batch = clamp_batch(self.net.n_vertices, batch)
         driver = TrainDriver(
             self._make_step(batch, collision),
             ctx=(),

@@ -50,6 +50,36 @@ def test_cli_line_end_to_end(toy_edges, tmp_path):
     assert header == "24 8"
 
 
+def test_cli_default_batch_stable_on_readme_toy_net(tmp_path):
+    """The README toy net (README.md:49-66) trained with DEFAULT flags
+    must produce finite embeddings: clamp_batch caps the 32768 default
+    batch near the vertex count so collision="sum" cannot overshoot
+    (it NaN'd before the guard)."""
+    net = tmp_path / "toy.txt"
+    net.write_text("u1 i1 1\nu1 i2 1\nu2 i2 1\nu2 i3 1\nu3 i3 1\n")
+    out = tmp_path / "rep.txt"
+    main([
+        "line", "-train", str(net), "-save", str(out),
+        "-dimensions", "8", "-sample_times", "0.01",
+    ])
+    lines = out.read_text().strip().split("\n")
+    assert lines[0] == "6 8"
+    for line in lines[1:]:
+        vals = np.array(line.split()[1:], dtype=float)
+        assert np.all(np.isfinite(vals)), line
+
+
+def test_clamp_batch():
+    from smore_tpu.models.base import clamp_batch
+
+    assert clamp_batch(6, 32768) == 6
+    assert clamp_batch(6, 32768, group=8) == 8  # floor at one group
+    assert clamp_batch(50_000, 32768) == 32768  # bench config unchanged
+    assert clamp_batch(50_000, 32768, group=8) == 32768
+    assert clamp_batch(100, 96, group=8) == 96
+    assert clamp_batch(100, 2048, group=8) == 96  # 100 -> multiple of 8
+
+
 def test_cli_fastrp_end_to_end(toy_edges, tmp_path):
     out = tmp_path / "rp.txt"
     main([
