@@ -186,6 +186,7 @@ def make_step(tables, variant):
     G = {
         "group4": 4, "group8": 8, "g4bf16": 4,
         "edge_g8": 8, "edge_g16": 16, "edge_g32": 32, "edge_g8p": 8,
+        "edge_g8_bf16": 8,
     }.get(variant, 1)
     n_v = tables.vertex_prob.shape[0]
 
@@ -290,8 +291,13 @@ def run_variant(name, tables, n, dtype):
 
 
 def main():
-    make_graph(GRAPH_PATH)
-    g = Graph.load_edge_list(GRAPH_PATH, undirected=True)
+    # PERF_GRAPH overrides the workload graph (e.g. the 1.1M-vertex
+    # /tmp/yt_scale_net.txt from experiments/microf1_scale.py) to probe
+    # HBM-bound behavior at scale; default = the 50k bench graph.
+    path = __import__("os").environ.get("PERF_GRAPH", GRAPH_PATH)
+    if path == GRAPH_PATH:
+        make_graph(GRAPH_PATH)
+    g = Graph.load_edge_list(path, undirected=True)
     tables = SamplerTables.build(g)
     n = g.n_vertices
     print(f"graph: {n} vertices, {g.n_edges} edges; B={B} Ks={KS} D={D} S={S}")
@@ -301,6 +307,7 @@ def main():
         ("edge", jnp.float32),
         ("edge_bf16", jnp.bfloat16),
         ("edge_g8", jnp.float32),
+        ("edge_g8_bf16", jnp.bfloat16),
         ("edge_g16", jnp.float32),
         ("edge_g32", jnp.float32),
         ("edge_g8p", jnp.float32),
