@@ -62,6 +62,32 @@ class InteractionGraph:
     def item_interactions(self, iid: int) -> np.ndarray:
         return self.item_order[self.item_indptr[iid]:self.item_indptr[iid + 1]]
 
+    def user_interactions_before(self, uid: int, t: float) -> np.ndarray:
+        """Interaction indices for ``uid`` with timestamp < t, time order
+        (interaction_graph.go GetUserInteractionsBefore :225-238)."""
+        idx = self.user_interactions(uid)
+        k = int(np.searchsorted(self.timestamps[idx], np.float32(t), side="left"))
+        return idx[:k]
+
+    def item_interactions_before(self, iid: int, t: float) -> np.ndarray:
+        """Interaction indices for ``iid`` with timestamp < t
+        (interaction_graph.go GetItemInteractionsBefore :241-254)."""
+        idx = self.item_interactions(iid)
+        k = int(np.searchsorted(self.timestamps[idx], np.float32(t), side="left"))
+        return idx[:k]
+
+    def last_user_interaction(self, uid: int, t: float) -> int:
+        """Most recent interaction index before t, or -1
+        (interaction_graph.go GetLastUserInteraction :257-263)."""
+        idx = self.user_interactions_before(uid, t)
+        return int(idx[-1]) if len(idx) else -1
+
+    def last_item_interaction(self, iid: int, t: float) -> int:
+        """Most recent interaction index before t, or -1
+        (interaction_graph.go GetLastItemInteraction :266-272)."""
+        idx = self.item_interactions_before(iid, t)
+        return int(idx[-1]) if len(idx) else -1
+
     def window(self, t0: float, t1: float) -> Tuple[int, int]:
         """Global interaction index range with t0 <= ts < t1."""
         lo = int(np.searchsorted(self.timestamps, t0, side="left"))

@@ -43,6 +43,25 @@ class HeteroGraph:
         tid = self.type2id[t]
         return np.nonzero(self.node_type == tid)[0]
 
+    def neighbors_by_type(self, vid: int, t: str) -> np.ndarray:
+        """Neighbors of ``vid`` whose node type is ``t`` (hetero_graph.go:169-182)."""
+        seg = vid * self.n_types + self.type2id[t]
+        return self.nbr_flat[self.nbr_indptr[seg]:self.nbr_indptr[seg + 1]]
+
+    def neighbor_count(self, vid: int, t: str) -> int:
+        """Count of typed neighbors (hetero_graph.go GetNeighborCount)."""
+        seg = vid * self.n_types + self.type2id[t]
+        return int(self.nbr_indptr[seg + 1] - self.nbr_indptr[seg])
+
+    def validate_meta_path(self, meta_path: List[str]) -> None:
+        """Raise ValueError on an invalid metapath: fewer than 2 types, or a
+        type name unknown to the graph (hetero_graph.go:260-272)."""
+        if len(meta_path) < 2:
+            raise ValueError("meta-path must have at least 2 types")
+        for t in meta_path:
+            if t not in self.type2id:
+                raise ValueError(f"unknown node type in meta-path: {t}")
+
     @staticmethod
     def load_edge_list(path: str, undirected: bool = True) -> "HeteroGraph":
         name2id: Dict[str, int] = {}

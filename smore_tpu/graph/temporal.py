@@ -41,6 +41,30 @@ class TemporalGraph:
     def n_edges(self) -> int:
         return len(self.edge_dst)
 
+    def temporal_neighbors(self, vid: int, t0: float, t1: float) -> np.ndarray:
+        """Out-neighbors of ``vid`` connected in [t0, t1] inclusive
+        (temporal_graph.go GetTemporalNeighbors :181-195; edges are
+        time-sorted per node, so this is two binary searches)."""
+        lo, hi = self.indptr[vid], self.indptr[vid + 1]
+        seg_ts = self.edge_ts[lo:hi]
+        a = int(np.searchsorted(seg_ts, np.float32(t0), side="left"))
+        b = int(np.searchsorted(seg_ts, np.float32(t1), side="right"))
+        return self.edge_dst[lo + a:lo + b]
+
+    def sample_temporal_neighbor(
+        self, vid: int, t0: float, t1: float, rng: np.random.Generator
+    ) -> Tuple[int, float]:
+        """Uniform draw among in-window out-edges; (-1, 0.0) when none
+        qualify (temporal_graph.go SampleTemporalNeighbor :198-210)."""
+        lo, hi = self.indptr[vid], self.indptr[vid + 1]
+        seg_ts = self.edge_ts[lo:hi]
+        a = int(np.searchsorted(seg_ts, np.float32(t0), side="left"))
+        b = int(np.searchsorted(seg_ts, np.float32(t1), side="right"))
+        if b <= a:
+            return -1, 0.0
+        j = lo + a + int(rng.integers(0, b - a))
+        return int(self.edge_dst[j]), float(self.edge_ts[j])
+
     @staticmethod
     def load_edge_list(path: str) -> "TemporalGraph":
         name2id: Dict[str, int] = {}

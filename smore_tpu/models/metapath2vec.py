@@ -34,11 +34,7 @@ class Metapath2Vec:
         return cls(HeteroGraph.load_edge_list(path, undirected), **kw)
 
     def add_meta_path(self, path: List[str]) -> None:
-        for t in path:
-            if t not in self.hg.type2id:
-                raise ValueError(f"unknown node type in meta-path: {t}")
-        if len(path) < 2:
-            raise ValueError("meta-path must have at least 2 types")
+        self.hg.validate_meta_path(path)  # hetero_graph.go:260-272
         self.meta_paths.append(path)
 
     def init(self, dim: int) -> None:

@@ -138,3 +138,21 @@ def test_tpr_learns(tpr_paths, tmp_path):
                    str(tmp_path / "w.txt"))
     header = (tmp_path / "w.txt").read_text().split("\n")[0]
     assert header == f"{m.iw.n_vertices} 16"
+
+
+def test_interactions_before_queries(interactions_path):
+    """GetUser/ItemInteractionsBefore + GetLast* parity
+    (interaction_graph.go:225-272): strictly-before-t, time-ordered."""
+    ig = InteractionGraph.load_interactions(interactions_path)
+    tmid = float(np.median(ig.timestamps))
+    for uid in range(min(4, ig.n_users)):
+        idx = ig.user_interactions_before(uid, tmid)
+        allu = ig.user_interactions(uid)
+        want = [i for i in allu if ig.timestamps[i] < tmid]
+        assert list(idx) == want
+        last = ig.last_user_interaction(uid, tmid)
+        assert last == (want[-1] if want else -1)
+    iid = 0
+    idx = ig.item_interactions_before(iid, tmid)
+    assert all(ig.timestamps[i] < tmid for i in idx)
+    assert (ig.last_item_interaction(iid, 0.0)) == -1

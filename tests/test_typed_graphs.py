@@ -211,3 +211,35 @@ def test_han_trains(hetero_path, tmp_path):
     out = tmp_path / "han.txt"
     m.save_weights(str(out))
     assert out.read_text().split("\n")[0] == f"{m.hg.n_vertices} 16"
+
+
+# ----------------------- host-side query APIs --------------------------- #
+def test_temporal_neighbors_window_query(temporal_path):
+    """GetTemporalNeighbors parity (temporal_graph.go:181-195): inclusive
+    [t0, t1] window over time-sorted out-edges."""
+    tg = TemporalGraph.load_edge_list(temporal_path)
+    a = tg.name2id["a"]
+    # a has out-edges at t=1 (->b) and t=10 (->e)
+    assert list(tg.temporal_neighbors(a, 0.0, 5.0)) == [tg.name2id["b"]]
+    assert list(tg.temporal_neighbors(a, 1.0, 10.0)) == [
+        tg.name2id["b"], tg.name2id["e"]
+    ]
+    assert list(tg.temporal_neighbors(a, 2.0, 9.0)) == []
+    rng = np.random.default_rng(0)
+    nid, ts = tg.sample_temporal_neighbor(a, 5.0, 20.0, rng)
+    assert nid == tg.name2id["e"] and ts == 10.0
+    assert tg.sample_temporal_neighbor(a, 2.0, 9.0, rng) == (-1, 0.0)
+
+
+def test_hetero_query_apis(hetero_path):
+    hg = HeteroGraph.load_edge_list(hetero_path)
+    a0 = hg.name2id["a0"]
+    nbrs = hg.neighbors_by_type(a0, "paper")
+    assert len(nbrs) == hg.neighbor_count(a0, "paper") == 4
+    assert all(hg.types[hg.node_type[v]] == "paper" for v in nbrs)
+    assert hg.neighbor_count(a0, "venue") == 0
+    hg.validate_meta_path(["author", "paper", "author"])
+    with pytest.raises(ValueError):
+        hg.validate_meta_path(["author"])
+    with pytest.raises(ValueError):
+        hg.validate_meta_path(["author", "movie"])
