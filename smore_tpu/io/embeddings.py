@@ -23,6 +23,11 @@ def save_embeddings(path: str, names: Sequence[str], table: np.ndarray) -> None:
     table = np.asarray(table)
     n, dim = table.shape
     assert n == len(names), f"{n} rows vs {len(names)} names"
+    from smore_tpu.native import fastgraph
+
+    if fastgraph.available() and table.dtype in (np.float32, np.float64):
+        fastgraph.save_embeddings(path, names, table)
+        return
     with open(path, "w") as f:
         f.write(f"{n} {dim}\n")
         for name, row in zip(names, table):
@@ -55,6 +60,10 @@ def warm_start(
 ) -> np.ndarray:
     """Overwrite rows of ``table`` by name from a saved model file
     (dims must match; mismatches are skipped, like LoadPreTrain)."""
+    from smore_tpu.native import fastgraph
+
+    if fastgraph.available() and np.asarray(table).dtype == np.float32:
+        return fastgraph.warm_start(table, names, pretrain_path)
     loaded = load_embeddings(pretrain_path)
     table = np.array(table, copy=True)
     dim = table.shape[1]

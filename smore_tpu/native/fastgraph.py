@@ -98,6 +98,23 @@ def _load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.float64),  # prob out
             np.ctypeslib.ndpointer(np.int64),    # alias out (local)
         ]
+        lib.fg_save_embeddings.restype = ctypes.c_int
+        lib.fg_save_embeddings.argtypes = [
+            ctypes.c_char_p,                     # path
+            ctypes.c_char_p,                     # names blob
+            np.ctypeslib.ndpointer(np.float32),  # table (n, dim)
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+        ]
+        lib.fg_warm_start.restype = ctypes.c_longlong
+        lib.fg_warm_start.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            np.ctypeslib.ndpointer(np.float32),  # table, modified in place
+        ]
+
         _lib = lib
         return _lib
 
@@ -133,6 +150,36 @@ def build_alias_segmented(
         alias,
     )
     return prob, alias
+
+
+def _names_blob(names) -> bytes:
+    return b"\x00".join(s.encode() for s in names) + b"\x00"
+
+
+def save_embeddings(path: str, names, table: np.ndarray) -> None:
+    """Native writer for the interchange format (role of the reference's
+    C++ SaveWeights, src/model/LINE.cpp:13-47); same %.6g values as the
+    Python fallback in io/embeddings.py."""
+    lib = _load()
+    t = np.ascontiguousarray(table, dtype=np.float32)
+    n, dim = t.shape
+    rc = lib.fg_save_embeddings(path.encode(), _names_blob(names), t, n, dim)
+    if rc != 0:
+        raise OSError(f"fg_save_embeddings failed for {path}")
+
+
+def warm_start(table: np.ndarray, names, pretrain_path: str) -> np.ndarray:
+    """Native LoadPreTrain (proNet.cpp:238-286): overwrite rows by name
+    where the line's dim matches; returns a new array."""
+    lib = _load()
+    t = np.array(table, dtype=np.float32, copy=True, order="C")
+    n, dim = t.shape
+    matched = lib.fg_warm_start(
+        pretrain_path.encode(), _names_blob(names), n, dim, t
+    )
+    if matched < 0:
+        raise OSError(f"cannot open pretrain file {pretrain_path}")
+    return t
 
 
 def load_edge_list(files: List[str], undirected: bool):
