@@ -44,13 +44,21 @@ class HeteroGraph:
         return np.nonzero(self.node_type == tid)[0]
 
     def neighbors_by_type(self, vid: int, t: str) -> np.ndarray:
-        """Neighbors of ``vid`` whose node type is ``t`` (hetero_graph.go:169-182)."""
-        seg = vid * self.n_types + self.type2id[t]
+        """Neighbors of ``vid`` whose node type is ``t`` (hetero_graph.go:169-182).
+        Unknown type names yield an empty array (reference map-miss semantics)."""
+        tid = self.type2id.get(t)
+        if tid is None:
+            return self.nbr_flat[:0]
+        seg = vid * self.n_types + tid
         return self.nbr_flat[self.nbr_indptr[seg]:self.nbr_indptr[seg + 1]]
 
     def neighbor_count(self, vid: int, t: str) -> int:
-        """Count of typed neighbors (hetero_graph.go GetNeighborCount)."""
-        seg = vid * self.n_types + self.type2id[t]
+        """Count of typed neighbors (hetero_graph.go GetNeighborCount);
+        0 for a type name not present in the graph."""
+        tid = self.type2id.get(t)
+        if tid is None:
+            return 0
+        seg = vid * self.n_types + tid
         return int(self.nbr_indptr[seg + 1] - self.nbr_indptr[seg])
 
     def validate_meta_path(self, meta_path: List[str]) -> None:

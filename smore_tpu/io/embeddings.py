@@ -25,7 +25,10 @@ def save_embeddings(path: str, names: Sequence[str], table: np.ndarray) -> None:
     assert n == len(names), f"{n} rows vs {len(names)} names"
     from smore_tpu.native import fastgraph
 
-    if fastgraph.available() and table.dtype in (np.float32, np.float64):
+    # Native writer only for float32: it formats float32 values, so routing
+    # float64 tables through it would silently change the saved digits vs
+    # the full-precision Python fallback below.
+    if fastgraph.available() and table.dtype == np.float32:
         fastgraph.save_embeddings(path, names, table)
         return
     with open(path, "w") as f:

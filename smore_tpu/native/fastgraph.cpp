@@ -269,15 +269,24 @@ int fg_save_embeddings(const char* path, const char* names_blob,
         nm += nl + 1;
         char buf[48];
         for (int64_t j = 0; j < dim; ++j) {
-            // std::to_chars(general, 6) is specified as printf %.6g of
-            // the value promoted to double == the Python fallback's
-            // f"{v:.6g}" on the same float32 (and ~10x faster than
-            // snprintf).
+            // %.6g of the value promoted to double == the Python
+            // fallback's f"{v:.6g}" on the same float32. Prefer
+            // std::to_chars (~10x faster than snprintf) where the
+            // floating-point overload exists (libstdc++ from GCC >= 11);
+            // fall back to snprintf on older toolchains so the whole
+            // native layer doesn't silently vanish there.
             buf[0] = ' ';
+#if defined(__cpp_lib_to_chars) && __cpp_lib_to_chars >= 201611L
             auto r = std::to_chars(buf + 1, buf + sizeof buf,
                                    (double)table[i * dim + j],
                                    std::chars_format::general, 6);
-            line.insert(line.end(), buf, r.ptr);
+            char* endp = r.ptr;
+#else
+            int len = snprintf(buf + 1, sizeof buf - 1, "%.6g",
+                               (double)table[i * dim + j]);
+            char* endp = buf + 1 + (len > 0 ? len : 0);
+#endif
+            line.insert(line.end(), buf, endp);
         }
         line.push_back('\n');
         fwrite(line.data(), 1, line.size(), f);
@@ -295,12 +304,14 @@ int64_t fg_warm_start(const char* path, const char* names_blob, int64_t n,
                       int64_t dim, float* table) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
-    std::unordered_map<std::string, int64_t> idx;
+    // Map each name to EVERY row bearing it, so duplicate names all get
+    // overwritten — matching the Python fallback, which walks all rows.
+    std::unordered_map<std::string, std::vector<int64_t>> idx;
     idx.reserve((size_t)n * 2);
     const char* nm = names_blob;
     for (int64_t i = 0; i < n; ++i) {
         size_t nl = strlen(nm);
-        idx.emplace(std::string(nm, nl), i);
+        idx[std::string(nm, nl)].push_back(i);
         nm += nl + 1;
     }
     int64_t matched = 0;
@@ -333,8 +344,10 @@ int64_t fg_warm_start(const char* path, const char* names_blob, int64_t n,
         }
         if (!ok || cnt != dim) return;  // dim mismatch -> skip (proNet.cpp:262)
         if (it == idx.end()) return;
-        memcpy(table + it->second * dim, vals.data(), sizeof(float) * (size_t)dim);
-        ++matched;
+        for (int64_t row : it->second) {
+            memcpy(table + row * dim, vals.data(), sizeof(float) * (size_t)dim);
+            ++matched;
+        }
     };
     const size_t CHUNK = 1 << 24;
     std::vector<char> tmp(CHUNK + 1);

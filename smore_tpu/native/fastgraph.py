@@ -28,24 +28,103 @@ _lock = threading.Lock()
 _build_attempted = False
 
 
-def _try_build() -> None:
+def _try_build(force: bool = False) -> None:
     global _build_attempted
-    if _build_attempted:
+    if _build_attempted and not force:
         return
     _build_attempted = True
     src = os.path.join(_HERE, "fastgraph.cpp")
     if not os.path.exists(src):
         return
+    tmp = _SO + f".build.{os.getpid()}"
     try:
+        # Build to a temp path then rename: os.replace gives the .so a new
+        # inode, so a retry dlopen() after a failed bind sees the fresh
+        # library instead of the stale in-process mapping.
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             "-o", _SO, src],
+             "-o", tmp, src],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _SO)
+    except subprocess.CalledProcessError as e:
+        import sys
+
+        print(
+            "smore_tpu: native fastgraph build failed; using pure-Python "
+            f"fallbacks.\n{e.stderr.decode(errors='replace')[-2000:]}",
+            file=sys.stderr,
+        )
     except Exception:
         pass
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    """Declare the full symbol table; raises AttributeError if the .so is
+    from an older source revision and lacks newer entry points."""
+    lib.fg_load_edgelist.restype = ctypes.c_void_p
+    lib.fg_load_edgelist.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.fg_n_vertices.restype = ctypes.c_longlong
+    lib.fg_n_vertices.argtypes = [ctypes.c_void_p]
+    lib.fg_n_edges.restype = ctypes.c_longlong
+    lib.fg_n_edges.argtypes = [ctypes.c_void_p]
+    lib.fg_names_size.restype = ctypes.c_longlong
+    lib.fg_names_size.argtypes = [ctypes.c_void_p]
+    lib.fg_export.restype = None
+    lib.fg_export.argtypes = [
+        ctypes.c_void_p,
+        np.ctypeslib.ndpointer(np.int64),   # indptr (N+1)
+        np.ctypeslib.ndpointer(np.int32),   # indices (E)
+        np.ctypeslib.ndpointer(np.float64), # weights (E)
+        np.ctypeslib.ndpointer(np.float64), # out_degree (N)
+        np.ctypeslib.ndpointer(np.float64), # in_degree (N)
+        ctypes.c_char_p,                    # names buffer
+    ]
+    lib.fg_free.restype = None
+    lib.fg_free.argtypes = [ctypes.c_void_p]
+
+    lib.fg_build_alias.restype = None
+    lib.fg_build_alias.argtypes = [
+        np.ctypeslib.ndpointer(np.float64),  # norm_prob, modified in place
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.float64),  # prob out
+        np.ctypeslib.ndpointer(np.int64),    # alias out
+    ]
+    lib.fg_build_alias_segmented.restype = None
+    lib.fg_build_alias_segmented.argtypes = [
+        np.ctypeslib.ndpointer(np.float64),  # weights
+        np.ctypeslib.ndpointer(np.int64),    # indptr
+        ctypes.c_longlong,                   # n segments
+        ctypes.c_double,                     # power
+        np.ctypeslib.ndpointer(np.float64),  # prob out
+        np.ctypeslib.ndpointer(np.int64),    # alias out (local)
+    ]
+    lib.fg_save_embeddings.restype = ctypes.c_int
+    lib.fg_save_embeddings.argtypes = [
+        ctypes.c_char_p,                     # path
+        ctypes.c_char_p,                     # names blob
+        np.ctypeslib.ndpointer(np.float32),  # table (n, dim)
+        ctypes.c_longlong,
+        ctypes.c_longlong,
+    ]
+    lib.fg_warm_start.restype = ctypes.c_longlong
+    lib.fg_warm_start.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_longlong,
+        ctypes.c_longlong,
+        np.ctypeslib.ndpointer(np.float32),  # table, modified in place
+    ]
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -53,68 +132,29 @@ def _load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO):
-            _try_build()
+        src = os.path.join(_HERE, "fastgraph.cpp")
+        stale = (
+            os.path.exists(_SO)
+            and os.path.exists(src)
+            and os.path.getmtime(_SO) < os.path.getmtime(src)
+        )
+        if not os.path.exists(_SO) or stale:
+            _try_build(force=stale)
         if not os.path.exists(_SO):
             return None
-        lib = ctypes.CDLL(_SO)
-
-        lib.fg_load_edgelist.restype = ctypes.c_void_p
-        lib.fg_load_edgelist.argtypes = [
-            ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
-        ]
-        lib.fg_n_vertices.restype = ctypes.c_longlong
-        lib.fg_n_vertices.argtypes = [ctypes.c_void_p]
-        lib.fg_n_edges.restype = ctypes.c_longlong
-        lib.fg_n_edges.argtypes = [ctypes.c_void_p]
-        lib.fg_names_size.restype = ctypes.c_longlong
-        lib.fg_names_size.argtypes = [ctypes.c_void_p]
-        lib.fg_export.restype = None
-        lib.fg_export.argtypes = [
-            ctypes.c_void_p,
-            np.ctypeslib.ndpointer(np.int64),   # indptr (N+1)
-            np.ctypeslib.ndpointer(np.int32),   # indices (E)
-            np.ctypeslib.ndpointer(np.float64), # weights (E)
-            np.ctypeslib.ndpointer(np.float64), # out_degree (N)
-            np.ctypeslib.ndpointer(np.float64), # in_degree (N)
-            ctypes.c_char_p,                    # names buffer
-        ]
-        lib.fg_free.restype = None
-        lib.fg_free.argtypes = [ctypes.c_void_p]
-
-        lib.fg_build_alias.restype = None
-        lib.fg_build_alias.argtypes = [
-            np.ctypeslib.ndpointer(np.float64),  # norm_prob, modified in place
-            ctypes.c_longlong,
-            np.ctypeslib.ndpointer(np.float64),  # prob out
-            np.ctypeslib.ndpointer(np.int64),    # alias out
-        ]
-        lib.fg_build_alias_segmented.restype = None
-        lib.fg_build_alias_segmented.argtypes = [
-            np.ctypeslib.ndpointer(np.float64),  # weights
-            np.ctypeslib.ndpointer(np.int64),    # indptr
-            ctypes.c_longlong,                   # n segments
-            ctypes.c_double,                     # power
-            np.ctypeslib.ndpointer(np.float64),  # prob out
-            np.ctypeslib.ndpointer(np.int64),    # alias out (local)
-        ]
-        lib.fg_save_embeddings.restype = ctypes.c_int
-        lib.fg_save_embeddings.argtypes = [
-            ctypes.c_char_p,                     # path
-            ctypes.c_char_p,                     # names blob
-            np.ctypeslib.ndpointer(np.float32),  # table (n, dim)
-            ctypes.c_longlong,
-            ctypes.c_longlong,
-        ]
-        lib.fg_warm_start.restype = ctypes.c_longlong
-        lib.fg_warm_start.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_char_p,
-            ctypes.c_longlong,
-            ctypes.c_longlong,
-            np.ctypeslib.ndpointer(np.float32),  # table, modified in place
-        ]
-
+        try:
+            lib = ctypes.CDLL(_SO)
+            _bind(lib)
+        except (OSError, AttributeError):
+            # A prebuilt .so from an older source revision can lack newer
+            # symbols; rebuild once from the current source and retry, else
+            # honor the graceful-fallback contract (available() -> False).
+            _try_build(force=True)
+            try:
+                lib = ctypes.CDLL(_SO)
+                _bind(lib)
+            except (OSError, AttributeError):
+                return None
         _lib = lib
         return _lib
 

@@ -44,3 +44,10 @@ def load_checkpoint(path: str):
         int(payload.get("step", 0)),
         payload.get("extra"),
     )
+
+
+def checkpoint_exists(path: str) -> bool:
+    """True when ``path`` holds a restorable checkpoint (orbax writes a
+    directory; an empty/missing dir means no checkpoint)."""
+    path = os.path.abspath(path)
+    return os.path.isdir(path) and bool(os.listdir(path))
