@@ -43,6 +43,13 @@ def _base_parser(name: str, walk: bool = False) -> argparse.ArgumentParser:
                    help="accepted for compatibility; TPU path ignores it")
     p.add_argument("-batch", type=int, default=None,
                    help="TPU batch size override")
+    p.add_argument("-checkpoint", default=None,
+                   help="orbax checkpoint dir: save the full training "
+                        "state periodically and resume from it if present")
+    p.add_argument("-checkpoint_every", type=int, default=1,
+                   help="jit calls between checkpoint saves")
+    p.add_argument("-no_resume", action="store_true",
+                   help="with -checkpoint: overwrite instead of resuming")
     if walk:
         p.add_argument("-walk_times", type=int, default=10)
         p.add_argument("-walk_steps", type=int, default=40)
@@ -59,6 +66,23 @@ def _bt(args, default):
         if args.batch else {}
 
 
+def _set_ckpt(m, a) -> None:
+    """Apply -checkpoint/-checkpoint_every/-no_resume to a model."""
+    if getattr(a, "checkpoint", None):
+        m.set_checkpoint(a.checkpoint, every=a.checkpoint_every,
+                         resume=not a.no_resume)
+
+
+def _warm_start(m, a) -> None:
+    """Apply -load_v/-load_c pretrain warm starts after init (reference
+    Init(dim, load_vertex, load_context), e.g. src/model/DeepWalk.cpp:
+    60-94; flags cli/deepwalk.cpp:61-62, cli/hpe.cpp)."""
+    if getattr(a, "load_v", None):
+        m.load_pretrain(a.load_v, table="vertex")
+    if getattr(a, "load_c", None) and "context" in m.state:
+        m.load_pretrain(a.load_c, table="context")
+
+
 # --------------------------- edge-pair models --------------------------- #
 @_cmd("line")
 def _line(argv):
@@ -68,11 +92,15 @@ def _line(argv):
                    help="contexts drawn per source per step (1 = strict "
                         "per-sample sources; >1 is walk-style reuse, "
                         "AUC-parity verified)")
+    p.add_argument("-load_v", default=None, help="pretrained vertex warm start")
+    p.add_argument("-load_c", default=None, help="pretrained context warm start")
     a = p.parse_args(argv)
     from smore_tpu.models import LINE
 
     m = LINE.load_edge_list(a.train, undirected=bool(a.undirected))
     m.init(dim=a.dimensions, order=a.order)
+    _warm_start(m, a)
+    _set_ckpt(m, a)
     kw = {"batch": a.batch} if a.batch else {}
     m.train(sample_times=a.sample_times, negative_samples=a.negative_samples,
             alpha=a.alpha, group=a.group, **kw)
@@ -82,11 +110,17 @@ def _line(argv):
 @_cmd("pe")
 def _pe(argv):
     p = _base_parser("pe")
+    p.add_argument("-walk_meta", default=None,
+                   help="per-vertex walk-steps file (reference "
+                        "PE::LoadWalkMeta, ProximityEmbedding.cpp:6-7)")
     a = p.parse_args(argv)
     from smore_tpu.models import PE
 
     m = PE.load_edge_list(a.train, undirected=bool(a.undirected))
+    if a.walk_meta:
+        m.load_walk_meta(a.walk_meta)
     m.init(dim=a.dimensions)
+    _set_ckpt(m, a)
     m.train(sample_times=a.sample_times, negative_samples=a.negative_samples,
             alpha=a.alpha)
     m.save_weights(a.save)
@@ -97,11 +131,15 @@ def _hpe(argv):
     p = _base_parser("hpe")
     p.add_argument("-walk_steps", type=int, default=5)
     p.add_argument("-reg", type=float, default=0.01)
+    p.add_argument("-load_v", default=None, help="pretrained vertex warm start")
+    p.add_argument("-load_c", default=None, help="pretrained context warm start")
     a = p.parse_args(argv)
     from smore_tpu.models import HPE
 
     m = HPE.load_edge_list(a.train, undirected=bool(a.undirected))
     m.init(dim=a.dimensions)
+    _warm_start(m, a)
+    _set_ckpt(m, a)
     m.train(sample_times=a.sample_times, walk_steps=a.walk_steps,
             negative_samples=a.negative_samples, reg=a.reg, alpha=a.alpha)
     m.save_weights(a.save)
@@ -125,6 +163,7 @@ def _simple_rec(cls_name, extra=None):
         m = cls.load_edge_list(a.train, undirected=bool(a.undirected),
                                **ctor_kw)
         m.init(dim=a.dimensions)
+        _set_ckpt(m, a)
         kw = {"batch": a.batch} if a.batch else {}
         m.train(sample_times=a.sample_times, alpha=a.alpha, **kw)
         m.save_weights(a.save)
@@ -154,6 +193,7 @@ def _hoprec(argv):
     m = HOPREC.load_edge_list(a.train, undirected=bool(a.undirected))
     m.graph.load_field_meta(a.field)
     m.init(dim=a.dimensions)
+    _set_ckpt(m, a)
     m.train(sample_times=a.sample_times, walk_steps=a.walk_steps,
             margin=a.margin, alpha=a.alpha)
     m.save_weights(a.save)
@@ -163,11 +203,15 @@ def _hoprec(argv):
 @_cmd("deepwalk")
 def _deepwalk(argv):
     p = _base_parser("deepwalk", walk=True)
+    p.add_argument("-load_v", default=None, help="pretrained vertex warm start")
+    p.add_argument("-load_c", default=None, help="pretrained context warm start")
     a = p.parse_args(argv)
     from smore_tpu.models import DeepWalk
 
     m = DeepWalk.load_edge_list(a.train, undirected=bool(a.undirected))
     m.init(dim=a.dimensions)
+    _warm_start(m, a)
+    _set_ckpt(m, a)
     m.train(walk_times=a.walk_times, walk_steps=a.walk_steps,
             window_size=a.window_size,
             negative_samples=a.negative_samples, alpha=a.alpha)
@@ -184,6 +228,7 @@ def _walklets(argv):
 
     m = Walklets.load_edge_list(a.train, undirected=bool(a.undirected))
     m.init(dim=a.dimensions)
+    _set_ckpt(m, a)
     m.train(walk_times=a.walk_times, walk_steps=a.walk_steps,
             window_min=a.window_min, window_max=a.window_max,
             negative_samples=a.negative_samples, alpha=a.alpha)
@@ -200,6 +245,7 @@ def _node2vec(argv):
 
     m = Node2Vec.load_edge_list(a.train, undirected=bool(a.undirected))
     m.init(dim=a.dimensions)
+    _set_ckpt(m, a)
     m.train(walk_times=a.walk_times, walk_steps=a.walk_steps,
             window_size=a.window_size, p=a.p, q=a.q,
             negative_samples=a.negative_samples, alpha=a.alpha)
@@ -216,6 +262,7 @@ def _app(argv):
 
     m = APP.load_edge_list(a.train, undirected=bool(a.undirected))
     m.init(dim=a.dimensions)
+    _set_ckpt(m, a)
     m.train(walk_times=a.walk_times, sample_times=int(a.sample_times),
             jump=a.jump, negative_samples=a.negative_samples, alpha=a.alpha)
     m.save_weights(a.save)
@@ -252,6 +299,7 @@ def _field_model(name, cls_name, needs_field=True):
         if a.field:
             m.graph.load_field_meta(a.field)
         m.init(dim=a.dimensions)
+        _set_ckpt(m, a)
         kw = {}
         if cls_name in ("GCN", "TEXTGCN"):
             kw["reg"] = a.reg
@@ -301,6 +349,7 @@ def _eco(argv):
     if a.field:
         m.graph.load_field_meta(a.field)
     m.init(dim=a.dimensions)
+    _set_ckpt(m, a)
     m.train(sample_times=a.sample_times, reg=a.reg,
             negative_samples=a.negative_samples, alpha=a.alpha)
     m.save_weights(a.save)

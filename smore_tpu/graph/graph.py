@@ -259,9 +259,11 @@ class Graph:
         self.n_fields = max(1, len(fnames))
         self.field_names = [k for k, _ in sorted(fnames.items(), key=lambda kv: kv[1])]
 
-    def load_walk_meta(self, path: str, default_steps: int = 5) -> None:
+    def load_walk_meta(self, path: str, default_steps: int = 3) -> None:
         """``vertex steps`` file -> per-vertex walk length
-        (reference proNet::LoadWalkMeta, proNet.cpp:288-328)."""
+        (reference proNet::LoadWalkMeta, proNet.cpp:288-328; vertices not
+        named in the file keep the reference default of 3 steps,
+        proNet.cpp:310)."""
         steps = np.full(self.n_vertices, default_steps, dtype=np.int32)
         for fname in _iter_edge_files(path):
             with open(fname, "r") as f:

@@ -92,6 +92,10 @@ class TrainDriver:
         steps_per_call: int = 256,
         monitor: bool = True,
         mesh=None,
+        sharding: str = "dp",
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 1,
+        resume: bool = True,
     ):
         """mesh: optional jax.sharding.Mesh with axis "d". When given,
         the call runs data-parallel via shard_map: each device draws an
@@ -100,16 +104,48 @@ class TrainDriver:
         /root/reference/src/random.cpp:5-13) against replicated tables;
         per-device state deltas are psum-merged each step (sum over
         devices == collision="sum" over the combined batch). Effective
-        samples per step = samples_per_step * n_devices."""
+        samples per step = samples_per_step * n_devices.
+
+        sharding: "dp" (default, the shard_map mode above) or "rows" —
+        the large-table mode (SURVEY.md 5.8): embedding tables are
+        row-sharded over the mesh (``P("d", None)``) and the SAME logical
+        single-stream program is GSPMD-partitioned, XLA inserting the
+        all-gather / all-to-all collectives for the random-row gathers
+        and scatter-adds over ICI. Unlike "dp" (whose per-step psum moves
+        the full (N, D) delta), "rows" keeps per-step traffic O(batch*D),
+        so it scales to tables that don't fit one chip's HBM. Semantics
+        are bit-identical to single-chip (one logical sample stream), so
+        quality needs no re-gating.
+
+        checkpoint_path: when set, the FULL training state (tables + PRNG
+        key + step counter) is orbax-checkpointed every
+        ``checkpoint_every`` jit calls and once at the end; if
+        ``resume`` and the path already holds a checkpoint, training
+        continues from it — the alpha schedule is a pure function of the
+        restored step counter, so kill-and-resume is step-identical to an
+        uninterrupted run. (The reference has no mid-train persistence,
+        SURVEY.md 5.4 — this is the production upgrade on top of its
+        final-dump/warm-start surface.)"""
+        if sharding not in ("dp", "rows"):
+            raise ValueError(f"sharding must be 'dp' or 'rows', got {sharding!r}")
         self.step_fn = step_fn
         self.ctx = ctx
         self.mesh = mesh
-        self.n_shards = 1 if mesh is None else mesh.devices.size
+        self.sharding = sharding
+        # "rows" runs ONE logical stream (GSPMD splits the work, not the
+        # sample law), so the schedule is unchanged; "dp" multiplies the
+        # per-step sample count by the device count.
+        self.n_shards = (
+            1 if (mesh is None or sharding == "rows") else mesh.devices.size
+        )
         self.samples_per_step = samples_per_step * self.n_shards
         self.alpha = float(alpha)
         self.total_samples = int(total_samples)
         self.steps_per_call = int(steps_per_call)
         self.monitor = monitor
+        self.checkpoint_path = checkpoint_path
+        self.checkpoint_every = max(1, int(checkpoint_every))
+        self.resume = resume
 
     def _wrap_dp(self, step_fn: StepFn) -> StepFn:
         """Data-parallel step: shard_map over per-device keys."""
@@ -147,7 +183,7 @@ class TrainDriver:
 
     def _make_call(self):
         step_fn = self.step_fn
-        use_dp = self.mesh is not None
+        use_dp = self.mesh is not None and self.sharding == "dp"
         if use_dp:
             step_fn = self._wrap_dp(step_fn)
         S = self.steps_per_call
@@ -176,10 +212,51 @@ class TrainDriver:
 
         return jax.jit(run, donate_argnums=(0,))
 
+    def _save_ckpt(self, state: State, key: jax.Array, done: int) -> None:
+        from smore_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            self.checkpoint_path,
+            jax.device_get(state),
+            step=done,
+            extra={"key": np.asarray(key)},
+        )
+
+    def _maybe_resume(self, state: State, key: jax.Array):
+        """Restore (state, key, done) from checkpoint_path if present."""
+        from smore_tpu.utils.checkpoint import (
+            checkpoint_exists,
+            load_checkpoint,
+        )
+
+        if not (
+            self.checkpoint_path
+            and self.resume
+            and checkpoint_exists(self.checkpoint_path)
+        ):
+            return state, key, 0
+        loaded, done, extra = load_checkpoint(self.checkpoint_path)
+        state = jax.tree.map(jnp.asarray, loaded)
+        if extra and "key" in extra:
+            key = jnp.asarray(np.asarray(extra["key"]).astype(np.uint32))
+        return state, key, int(done)
+
     def train(self, state: State, key: jax.Array, verbose: bool = True) -> State:
         call = self._make_call()
         steps_total = max(1, -(-self.total_samples // self.samples_per_step))
         done = 0
+        if self.checkpoint_path:
+            state, key, done = self._maybe_resume(state, key)
+        if self.mesh is not None and self.sharding == "rows":
+            from smore_tpu.parallel.mesh import replicated, shard_state
+
+            state = shard_state(state, self.mesh)
+            self.ctx = jax.tree.map(
+                lambda x: jax.device_put(x, replicated(self.mesh))
+                if hasattr(x, "ndim") else x,
+                self.ctx,
+            )
+        calls = 0
         t0 = time.time()
         last_loss = float("nan")
         loss = None
@@ -193,6 +270,11 @@ class TrainDriver:
             sched = jnp.asarray((float(done),) + sched_tail, dtype=jnp.float32)
             state, key, loss = call(state, self.ctx, key, sched)
             done += self.steps_per_call
+            calls += 1
+            if self.checkpoint_path and (
+                calls % self.checkpoint_every == 0 or done >= steps_total
+            ):
+                self._save_ckpt(state, key, done)
             if verbose and self.monitor:
                 last_loss = float(loss)  # also forces real completion
                 pct = min(100.0, 100.0 * done / steps_total)
@@ -249,6 +331,32 @@ class PairModelBase:
 
     def train(self, **kw) -> None:
         raise NotImplementedError
+
+    def set_checkpoint(
+        self, path: Optional[str], every: int = 1, resume: bool = True
+    ) -> None:
+        """Enable periodic checkpoint + resume for subsequent train() calls
+        (every = jit calls between saves). Models whose training has
+        multiple driver phases suffix the path per phase."""
+        if path is None:
+            self._ckpt = None
+        else:
+            self._ckpt = {
+                "checkpoint_path": path,
+                "checkpoint_every": every,
+                "resume": resume,
+            }
+
+    def _ckpt_kw(self, phase: Optional[str] = None) -> dict:
+        ck = getattr(self, "_ckpt", None)
+        if not ck:
+            return {}
+        kw = dict(ck)
+        if phase:
+            import os
+
+            kw["checkpoint_path"] = os.path.join(kw["checkpoint_path"], phase)
+        return kw
 
     def save_weights(self, path: str, table: str = "vertex") -> None:
         save_embeddings(path, self.graph.names, np.asarray(self.state[table]))

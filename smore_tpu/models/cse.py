@@ -140,6 +140,7 @@ class _CSEBase(PairModelBase):
             alpha=alpha,
             total_samples=int(sample_times * 1_000_000),
             steps_per_call=steps_per_call,
+            **self._ckpt_kw(),
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)
 

@@ -116,6 +116,7 @@ class FINE(PairModelBase):
             alpha=alpha,
             total_samples=int(sample_times * 1_000_000),
             steps_per_call=steps_per_call,
+            **self._ckpt_kw(),
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)
 

@@ -143,6 +143,7 @@ class GCN(PairModelBase):
             alpha=alpha,
             total_samples=int(sample_times * 1_000_000),
             steps_per_call=steps_per_call,
+            **self._ckpt_kw(),
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)
 
@@ -332,6 +333,7 @@ class TEXTGCNdev(GCN):
             alpha=alpha,
             total_samples=int(sample_times * 1_000_000),
             steps_per_call=steps_per_call,
+            **self._ckpt_kw(),
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)
 

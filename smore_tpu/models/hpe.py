@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from smore_tpu.models.base import (
     clamp_batch,
@@ -120,12 +121,23 @@ class HPE(PairModelBase):
             alpha=alpha,
             total_samples=int(sample_times * 1_000_000),
             steps_per_call=steps_per_call,
+            **self._ckpt_kw(),
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)
 
 
 class PE(PairModelBase):
-    """Proximity embedding: reversed-pair SGNS (PE::Train's live branch)."""
+    """Proximity embedding: reversed-pair SGNS (PE::Train's live branch).
+
+    Per-vertex dynamic walk meta: the reference exposes PE::LoadWalkMeta
+    (ProximityEmbedding.cpp:6-7 -> proNet::LoadWalkMeta, proNet.cpp:
+    288-328) but its consumer, the UpdateDCommunity call, is commented
+    out (ProximityEmbedding.cpp:105-106) -- the meta is dead code there.
+    Here ``load_walk_meta`` wires the documented intent through: each
+    sampled (v1, v2) contributes reversed pairs against v2 plus walk
+    extensions of v2, masked at v1's per-vertex step count. With every
+    vertex at steps=1 this reduces EXACTLY to the live reference branch
+    (only v2 itself)."""
 
     def __init__(self, graph, seed: int = 0):
         super().__init__(graph, seed)
@@ -140,15 +152,48 @@ class PE(PairModelBase):
         }
         self.build_sampler()
 
+    def load_walk_meta(self, path: str) -> None:
+        """Reference PE::LoadWalkMeta: ``vertex steps`` file, default 3."""
+        self.graph.load_walk_meta(path)
+
+    def _dynamic_steps(self):
+        return getattr(self.graph, "walk_steps", None)
+
     def _make_step(self, batch, negatives, shared_negatives, collision):
-        def step(state, tables, key, alpha):
-            k1, k2, k3 = jax.random.split(key, 3)
+        dyn = self._dynamic_steps()
+        if dyn is None:
+            def step(state, ctx, key, alpha):
+                tables, _ = ctx
+                k1, k2, k3 = jax.random.split(key, 3)
+                src = tables.source_sample(k1, (batch,))
+                pos = tables.target_sample(k2, src)
+                negs = tables.negative_sample(k3, (shared_negatives,))
+                wv, wc, loss = sgns_shared_negs_step(
+                    state["vertex"], state["context"], pos, src, negs,
+                    alpha, k_equiv=negatives, collision=collision,
+                )
+                return {"vertex": wv, "context": wc}, loss
+
+            return step
+
+        S = int(max(1, min(int(np.max(dyn)), 32)))  # static walk buffer
+
+        def step(state, ctx, key, alpha):
+            tables, dyn_steps = ctx
+            k1, k2, k3, k4 = jax.random.split(key, 4)
             src = tables.source_sample(k1, (batch,))
             pos = tables.target_sample(k2, src)
             negs = tables.negative_sample(k3, (shared_negatives,))
+            cv, cc, alive = community_walk_pairs(tables, k4, src, pos, S)
+            # context position t (0 = v2 itself) valid while t < steps[v1]
+            t = jnp.broadcast_to(
+                jnp.arange(S, dtype=jnp.int32)[None, :], (batch, S)
+            ).reshape(-1)
+            dsteps = dyn_steps.at[cv].get(mode="promise_in_bounds")
+            mask = alive * (t < dsteps).astype(jnp.float32)
             wv, wc, loss = sgns_shared_negs_step(
-                state["vertex"], state["context"], pos, src, negs, alpha,
-                k_equiv=negatives, collision=collision,
+                state["vertex"], state["context"], cc, cv, negs, alpha,
+                k_equiv=negatives, mask=mask, collision=collision,
             )
             return {"vertex": wv, "context": wc}, loss
 
@@ -166,12 +211,19 @@ class PE(PairModelBase):
         verbose: bool = True,
     ) -> None:
         batch = clamp_batch(self.graph.n_vertices, batch)
+        dyn = self._dynamic_steps()
+        ctx = (
+            self.build_sampler(),
+            jnp.zeros((0,), jnp.int32) if dyn is None
+            else jnp.asarray(dyn, jnp.int32),
+        )
         driver = TrainDriver(
             self._make_step(batch, negative_samples, shared_negatives, collision),
-            ctx=self.build_sampler(),
+            ctx=ctx,
             samples_per_step=batch,
             alpha=alpha,
             total_samples=int(sample_times * 1_000_000),
             steps_per_call=steps_per_call,
+            **self._ckpt_kw(),
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)

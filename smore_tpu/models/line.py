@@ -140,6 +140,7 @@ class LINE(PairModelBase):
         # UNgrouped config (18.7 vs 18.0 M samples/s) -- in grouped mode
         # XLA's own overlap of draws and grads is faster (PERF_NOTES.md)
         mesh=None,
+        sharding: str = "dp",
         verbose: bool = True,
     ) -> None:
         total = int(sample_times * 1_000_000)
@@ -157,6 +158,8 @@ class LINE(PairModelBase):
             total_samples=total,
             steps_per_call=steps_per_call,
             mesh=mesh,
+            sharding=sharding,
+            **self._ckpt_kw(),
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)
 

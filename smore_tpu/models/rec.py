@@ -82,6 +82,7 @@ class _SharedTableRec(PairModelBase):
             total_samples=int(sample_times * 1_000_000),
             steps_per_call=steps_per_call,
             mesh=mesh,
+            **self._ckpt_kw(),
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)
 

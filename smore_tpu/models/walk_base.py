@@ -82,6 +82,7 @@ class WalkSGNSBase(PairModelBase):
         collision: str,
         verbose: bool,
         mesh=None,
+        sharding: str = "dp",
     ) -> None:
         driver = TrainDriver(
             self._make_step(
@@ -93,5 +94,7 @@ class WalkSGNSBase(PairModelBase):
             total_samples=total_walks,
             steps_per_call=steps_per_call,
             mesh=mesh,
+            sharding=sharding,
+            **self._ckpt_kw(),
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)
