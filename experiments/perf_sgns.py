@@ -177,20 +177,21 @@ def draws_two_stage(tables, key):
     return src, pos, negs
 
 
-def make_step(tables, variant):
-    def draws(key):
+def make_step(tables_outer, variant):
+    def draws(tables, key):
         if variant.startswith("edge"):
             return tables.draw_edge_batch(key, B, KS)  # joint edge table
         return draws_two_stage(tables, key)
+
+    n_v = tables_outer.vertex_prob.shape[0]
 
     G = {
         "group4": 4, "group8": 8, "g4bf16": 4,
         "edge_g8": 8, "edge_g16": 16, "edge_g32": 32, "edge_g8p": 8,
         "edge_g8_bf16": 8,
     }.get(variant, 1)
-    n_v = tables.vertex_prob.shape[0]
 
-    def step(state, key):
+    def step_t(state, tables, key):
         wv, wc = state
         cast = functools.partial(jnp.asarray, dtype=wv.dtype)
 
@@ -209,7 +210,7 @@ def make_step(tables, variant):
         elif variant == "nodraws":
             src, pos, negs = draws_hash(key, n_v)
         else:
-            src, pos, negs = draws(key)
+            src, pos, negs = draws(tables, key)
 
         v = wv.at[src].get(mode="promise_in_bounds").astype(jnp.float32)
         cp = wc.at[pos].get(mode="promise_in_bounds").astype(jnp.float32)
@@ -253,11 +254,11 @@ def make_step(tables, variant):
             wv = wv.at[src].add(cast(d_src), mode="promise_in_bounds")
         return (wv, wc), jnp.sum(d_src[0])
 
-    def call(state, key):
+    def call(state, tables, key):
         def body(carry, _):
             state, key = carry
             key, sub = jax.random.split(key)
-            state, x = step(state, sub)
+            state, x = step_t(state, tables, sub)
             return (state, key), x
 
         (state, key), xs = jax.lax.scan(body, (state, key), None, length=S)
@@ -272,13 +273,13 @@ def run_variant(name, tables, n, dtype):
     state = (wv.astype(dtype), jnp.zeros((n, D), dtype=dtype))
     call = make_step(tables, name)
     t0 = time.time()
-    state, key, x = call(state, key)
+    state, key, x = call(state, tables, key)
     float(x)  # forces completion through the tunnel
     compile_s = time.time() - t0
     # timed: 4 calls, data-dependent chain via donated state
     t0 = time.time()
     for _ in range(4):
-        state, key, x = call(state, key)
+        state, key, x = call(state, tables, key)
     float(x)
     dt = (time.time() - t0) / (4 * S)
     rate = B / dt

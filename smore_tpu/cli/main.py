@@ -411,6 +411,8 @@ def _sne(argv):
     p = _base_parser("sne")
     p.add_argument("-epochs", type=int, default=10)
     p.add_argument("-beta", type=float, default=1.0)
+    p.add_argument("-samples_per_edge", type=int, default=5,
+                   help="samples per edge per epoch (cmd/sne/main.go:21)")
     a = p.parse_args(argv)
     from smore_tpu.models import SNE
 
@@ -418,7 +420,8 @@ def _sne(argv):
                            beta=a.beta,
                            negative_samples=a.negative_samples)
     m.init(dim=a.dimensions)
-    m.train(epochs=a.epochs, alpha=a.alpha)
+    m.train(epochs=a.epochs, samples_per_edge=a.samples_per_edge,
+            alpha=a.alpha)
     m.save_weights(a.save)
 
 
@@ -433,6 +436,8 @@ def _kg_model(name, cls_name, extra=None):
         p.add_argument("-batch_size", type=int, default=1024)
         p.add_argument("-alpha", type=float, default=0.01)
         p.add_argument("-margin", type=float, default=1.0)
+        p.add_argument("-threads", type=int, default=1,
+                       help="accepted for compatibility; TPU path ignores it")
         for flag, typ, dv in (extra or []):
             p.add_argument(flag, type=typ, default=dv)
         a = p.parse_args(argv)
@@ -468,6 +473,9 @@ def _jodie(argv):
     p.add_argument("-dimensions", type=int, default=64)
     p.add_argument("-epochs", type=int, default=5)
     p.add_argument("-alpha", type=float, default=0.01)
+    p.add_argument("-batch-size", type=int, default=128, dest="batch_size",
+                   help="accepted for parity; the Go reference prints it "
+                        "and trains chronologically (jodie.go:214-224)")
     a = p.parse_args(argv)
     from smore_tpu.models import JODIE
 
@@ -491,17 +499,23 @@ def _seq_model(name, cls_name, extra=None):
         p.add_argument("-epochs", type=int, default=10)
         p.add_argument("-batch_size", type=int, default=128)
         p.add_argument("-alpha", type=float, default=0.001)
+        p.add_argument("-negative_samples", type=int, default=1,
+                       help="negatives per position, summed "
+                            "(sasrec.go:576-593)")
+        p.add_argument("-threads", type=int, default=1,
+                       help="accepted for compatibility; TPU path ignores it")
         for flag, typ, dv in (extra or []):
             p.add_argument(flag, type=typ, default=dv)
         a = p.parse_args(argv)
         import smore_tpu.models as M
 
         cls = getattr(M, cls_name)
-        kw = {}
+        kw = {"negative_samples": a.negative_samples}
         if cls_name == "GSASRec":
             kw["beta"] = a.beta
         if cls_name == "RecDenoiser":
             kw["lambda_sparsity"] = a.lambda_sparsity
+            kw["sparsity"] = a.sparsity
         m = cls.load_edge_list(a.train, **kw)
         m.init(dim=a.dimensions, max_seq_len=a.max_seq_len,
                num_blocks=a.num_blocks, num_heads=a.num_heads,
@@ -517,7 +531,8 @@ _REGISTRY["gsasrec"] = _seq_model(
     "gsasrec", "GSASRec", [("-beta", float, 0.5)]
 )
 _REGISTRY["recdenoiser"] = _seq_model(
-    "recdenoiser", "RecDenoiser", [("-lambda_sparsity", float, 0.01)]
+    "recdenoiser", "RecDenoiser",
+    [("-lambda_sparsity", float, 0.01), ("-sparsity", float, 0.3)],
 )
 
 
@@ -533,10 +548,20 @@ def _cpr(argv):
     p.add_argument("-update_times", type=float, default=10)
     p.add_argument("-alpha", type=float, default=0.025)
     p.add_argument("-margin", type=float, default=1.0)
+    p.add_argument("-user_reg", type=float, default=0.01)
+    p.add_argument("-item_reg", type=float, default=0.01)
+    p.add_argument("-negative_samples", type=int, default=5,
+                   help="accepted for parity; print-only in the Go "
+                        "reference (cpr.go:181)")
+    p.add_argument("-undirected", type=int, default=1)
+    p.add_argument("-threads", type=int, default=1,
+                   help="accepted for compatibility; TPU path ignores it")
     a = p.parse_args(argv)
     from smore_tpu.models import CPR
 
-    m = CPR.load_domains(a.train_target, a.train_source, margin=a.margin)
+    m = CPR.load_domains(a.train_target, a.train_source, margin=a.margin,
+                         undirected=bool(a.undirected),
+                         user_reg=a.user_reg, item_reg=a.item_reg)
     m.init(dim=a.dimensions)
     m.train(update_times=a.update_times, alpha=a.alpha)
     m.save_weights(a.save_user, a.save_target, a.save_source)
@@ -554,10 +579,16 @@ def _tpr(argv):
     p.add_argument("-sample_times", type=float, default=10)
     p.add_argument("-alpha", type=float, default=0.025)
     p.add_argument("-text_weight", type=float, default=0.3)
+    p.add_argument("-lambda", type=float, default=0.025, dest="lam",
+                   help="L2 regularization (cmd/tpr/main.go:21)")
+    p.add_argument("-undirected", type=int, default=1)
+    p.add_argument("-threads", type=int, default=1,
+                   help="accepted for compatibility; TPU path ignores it")
     a = p.parse_args(argv)
     from smore_tpu.models import TPR
 
-    m = TPR.load_graphs(a.train_ui, a.train_iw, text_weight=a.text_weight)
+    m = TPR.load_graphs(a.train_ui, a.train_iw, text_weight=a.text_weight,
+                        undirected=bool(a.undirected), lam=a.lam)
     m.init(dim=a.dimensions)
     m.train(sample_times=a.sample_times, alpha=a.alpha)
     m.save_weights(a.save_user, a.save_item, a.save_word)

@@ -38,6 +38,7 @@ class APP(WalkSGNSBase):
         shared_negatives: int = 128,
         collision: str = "sum",
         mesh=None,
+        sharding: str = "dp",
         verbose: bool = True,
     ) -> None:
         self.jump = jump
@@ -51,4 +52,5 @@ class APP(WalkSGNSBase):
             collision=collision,
             verbose=verbose,
             mesh=mesh,
+            sharding=sharding,
         )

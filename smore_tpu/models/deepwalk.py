@@ -42,6 +42,7 @@ class DeepWalk(WalkSGNSBase):
         shared_negatives: int = 256,
         collision: str = "sum",
         mesh=None,
+        sharding: str = "dp",
         verbose: bool = True,
     ) -> None:
         self.walk_steps = walk_steps
@@ -56,4 +57,5 @@ class DeepWalk(WalkSGNSBase):
             collision=collision,
             verbose=verbose,
             mesh=mesh,
+            sharding=sharding,
         )

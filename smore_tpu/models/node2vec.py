@@ -55,6 +55,7 @@ class Node2Vec(WalkSGNSBase):
         shared_negatives: int = 256,
         collision: str = "sum",
         mesh=None,
+        sharding: str = "dp",
         verbose: bool = True,
     ) -> None:
         self.p, self.q = p, q
@@ -70,6 +71,7 @@ class Node2Vec(WalkSGNSBase):
             collision=collision,
             verbose=verbose,
             mesh=mesh,
+            sharding=sharding,
         )
 
     def compute_homophily(self, threshold: float = 0.5) -> float:

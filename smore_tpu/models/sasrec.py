@@ -149,11 +149,19 @@ class SASRec:
     denoise = False
 
     def __init__(self, graph: Graph, seed: int = 0, beta: float = 0.5,
-                 lambda_sparsity: float = 0.01):
+                 lambda_sparsity: float = 0.01, negative_samples: int = 1,
+                 sparsity: float = 0.3):
         self.graph = graph
         self.seed = seed
         self.beta = beta
         self.lambda_sparsity = lambda_sparsity
+        # per-position negatives, SUMMED like the reference's per-negative
+        # update loop (sasrec.go:576-593; Go default 1)
+        self.neg_k = max(1, int(negative_samples))
+        # Go stores a target sparsity rate on the denoiser (recdenoiser.go
+        # :81-97) but never consumes it past the banner; kept for surface
+        # parity.
+        self.sparsity = sparsity
         self.net: Optional[SASRecNet] = None
         self.params = None
         self.dim = 0
@@ -215,21 +223,23 @@ class SASRec:
         )  # (B, L, D)
         table = net.item_table(params)  # (n+1, D)
         valid = (pos != n) & (seq != n)
-        negs = jax.random.randint(kn, pos.shape, 0, n)
+        K = self.neg_k
+        negs = jax.random.randint(kn, pos.shape + (K,), 0, n)
 
         s_pos = jnp.einsum(
             "bld,bld->bl", h, table.at[pos].get(mode="promise_in_bounds")
         )
         s_neg = jnp.einsum(
-            "bld,bld->bl", h, table.at[negs].get(mode="promise_in_bounds")
+            "bld,blkd->blk", h, table.at[negs].get(mode="promise_in_bounds")
         )
+        # negatives are SUMMED, matching the reference's per-negative
+        # update loop (sasrec.go:576-593)
+        neg_ce = -jax.nn.log_sigmoid(-s_neg).sum(axis=-1)
         if self.loss == "gbce":
             b = self.beta
-            ce = -b * jax.nn.log_sigmoid(s_pos) - (1.0 - b) * jax.nn.log_sigmoid(
-                -s_neg
-            )
+            ce = -b * jax.nn.log_sigmoid(s_pos) + (1.0 - b) * neg_ce
         else:
-            ce = -jax.nn.log_sigmoid(s_pos) - jax.nn.log_sigmoid(-s_neg)
+            ce = -jax.nn.log_sigmoid(s_pos) + neg_ce
         loss = jnp.sum(ce * valid) / jnp.maximum(valid.sum(), 1)
 
         if self.denoise:

