@@ -7,9 +7,11 @@ RUN apt-get update && apt-get install -y --no-install-recommends g++ \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /opt/smore-tpu
-COPY pyproject.toml README.md ./
+COPY pyproject.toml README.md entrypoint.sh ./
 COPY smore_tpu ./smore_tpu
-RUN pip install --no-cache-dir .
+RUN pip install --no-cache-dir . && chmod +x entrypoint.sh \
+    && mkdir -p /opt/smore-tpu/data
 
-WORKDIR /data
-ENTRYPOINT ["smore"]
+# Mount edge lists at /opt/smore-tpu/data; entrypoint.sh rewrites path
+# flags onto it (reference entrypoint.sh behavior).
+ENTRYPOINT ["/opt/smore-tpu/entrypoint.sh"]
