@@ -295,10 +295,16 @@ def main():
     # PERF_GRAPH overrides the workload graph (e.g. the 1.1M-vertex
     # /tmp/yt_scale_net.txt from experiments/microf1_scale.py) to probe
     # HBM-bound behavior at scale; default = the 50k bench graph.
-    path = __import__("os").environ.get("PERF_GRAPH", GRAPH_PATH)
+    os_ = __import__("os")
+    path = os_.environ.get("PERF_GRAPH", GRAPH_PATH)
     if path == GRAPH_PATH:
         make_graph(GRAPH_PATH)
     g = Graph.load_edge_list(path, undirected=True)
+    if os_.environ.get("PERF_RELABEL"):
+        from relabel_locality import relabel_by_degree
+
+        g = relabel_by_degree(g)
+        print("relabeled by degree (hot rows at low vids)")
     tables = SamplerTables.build(g)
     n = g.n_vertices
     print(f"graph: {n} vertices, {g.n_edges} edges; B={B} Ks={KS} D={D} S={S}")

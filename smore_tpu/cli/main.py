@@ -504,6 +504,14 @@ def _seq_model(name, cls_name, extra=None):
                             "(sasrec.go:576-593)")
         p.add_argument("-threads", type=int, default=1,
                        help="accepted for compatibility; TPU path ignores it")
+        p.add_argument("-eval_holdout", type=int, default=0,
+                       help="1 = withhold each user's last item, train on "
+                            "the prefix, and print recall@10 / NDCG@10 "
+                            "(leave-one-out next-item ranking)")
+        p.add_argument("-forward_only", type=int, default=0,
+                       help="1 = train ONLY the item embeddings (the "
+                            "reference's semantics, sasrec.go:553-593); "
+                            "0 = full autodiff (default)")
         for flag, typ, dv in (extra or []):
             p.add_argument(flag, type=typ, default=dv)
         a = p.parse_args(argv)
@@ -520,7 +528,13 @@ def _seq_model(name, cls_name, extra=None):
         m.init(dim=a.dimensions, max_seq_len=a.max_seq_len,
                num_blocks=a.num_blocks, num_heads=a.num_heads,
                dropout=a.dropout)
-        m.train(epochs=a.epochs, batch_size=a.batch_size, alpha=a.alpha)
+        m.train(epochs=a.epochs, batch_size=a.batch_size, alpha=a.alpha,
+                holdout=bool(a.eval_holdout),
+                forward_only=bool(a.forward_only))
+        if a.eval_holdout:
+            r = m.evaluate_ranking(ks=(10,))
+            print(f"\trecall@10: {r['recall@10']:.4f}  "
+                  f"NDCG@10: {r['ndcg@10']:.4f}")
         m.save_weights(a.save)
 
     return run

@@ -253,16 +253,40 @@ class SASRec:
         return loss
 
     def train(self, epochs: int = 10, batch_size: int = 128,
-              alpha: float = 0.001, verbose: bool = True) -> None:
+              alpha: float = 0.001, verbose: bool = True,
+              holdout: bool = False, forward_only: bool = False) -> None:
+        """holdout=True withholds each sequence's LAST item from training
+        (standard leave-one-out next-item protocol); evaluate with
+        evaluate_ranking() afterwards.
+
+        forward_only=True reproduces the reference's training semantics
+        exactly: the transformer (attention/FFN/LN/positions) is used in
+        the forward pass but NEVER receives gradients -- only the item
+        embedding table trains (sasrec.go:553-593 updates itemEmbed rows
+        alone). Default False = full autodiff, the documented upgrade."""
         seqs = self.build_sequences()
+        if holdout:
+            self._holdout_seqs = seqs
+            pad_col = np.full((len(seqs), 1), self.graph.n_vertices,
+                              np.int32)
+            seqs = np.concatenate([pad_col, seqs[:, :-1]], axis=1)
         n_seq = len(seqs)
         tx = optax.adam(alpha)
         opt_state = tx.init(self.params)
         params = self.params
 
+        if forward_only:
+            def keep(path, g):
+                names = {getattr(p, "key", None) for p in path}
+                return g if "item" in names else jnp.zeros_like(g)
+        else:
+            def keep(path, g):
+                return g
+
         @jax.jit
         def step(params, opt_state, batch, key):
             loss, grads = jax.value_and_grad(self._loss_fn)(params, batch, key)
+            grads = jax.tree_util.tree_map_with_path(keep, grads)
             updates, opt_state = tx.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
 
@@ -294,6 +318,50 @@ class SASRec:
         h = self.hidden_states(seqs)[:, -1]  # (B, D)
         table = self.net.item_table(self.params)[:-1]  # drop pad row
         return h @ table.T
+
+    def evaluate_ranking(self, ks=(10,), batch_size: int = 256) -> dict:
+        """Leave-one-out next-item ranking eval (train(holdout=True) first).
+
+        For each held-out user: input = the sequence minus its last item,
+        target = that last item; the target is ranked against ALL items
+        (full ranking, no negative sampling -- stricter and deterministic
+        vs the sampled-100 protocol common in the literature). Items
+        already in the user's input are excluded from the candidate set.
+        Returns {"recall@k": ..., "ndcg@k": ...}.
+        """
+        seqs = getattr(self, "_holdout_seqs", None)
+        if seqs is None:
+            raise ValueError("call train(holdout=True) before "
+                             "evaluate_ranking()")
+        pad = self.graph.n_vertices
+        # seqs is (B, max_len+1) left-padded; dropping the last column
+        # yields the (B, max_len) input ending just before the target.
+        prefixes = seqs[:, :-1]
+        targets = seqs[:, -1]
+        hits = {k: 0.0 for k in ks}
+        ndcg = {k: 0.0 for k in ks}
+        n = 0
+        for i in range(0, len(seqs), batch_size):
+            pf = prefixes[i:i + batch_size]
+            tg = targets[i:i + batch_size]
+            scores = np.array(self.score_next(pf))  # (b, n_items), writable
+            # mask items already seen in the prefix
+            rows = np.repeat(np.arange(len(pf)), pf.shape[1])
+            cols = pf.reshape(-1)
+            keep = cols < pad
+            scores[rows[keep], cols[keep]] = -np.inf
+            t_scores = scores[np.arange(len(pf)), tg]
+            rank = (scores > t_scores[:, None]).sum(axis=1)  # 0-based
+            for k in ks:
+                hit = rank < k
+                hits[k] += hit.sum()
+                ndcg[k] += (hit / np.log2(rank + 2)).sum()
+            n += len(pf)
+        out = {}
+        for k in ks:
+            out[f"recall@{k}"] = hits[k] / n
+            out[f"ndcg@{k}"] = ndcg[k] / n
+        return out
 
     def save_weights(self, path: str) -> None:
         table = np.asarray(self.net.item_table(self.params))[:-1]

@@ -58,6 +58,41 @@ def test_sasrec_save(seq_graph, tmp_path):
     assert out.read_text().split("\n")[0] == f"{seq_graph.n_vertices} 16"
 
 
+def test_holdout_ranking_eval(seq_graph):
+    """Leave-one-out eval: the cyclic pattern makes the held-out next
+    item predictable, so recall@10 must clear random by a wide margin;
+    metrics are proper fractions; eval requires holdout training."""
+    m = SASRec(seq_graph, seed=0)
+    m.init(dim=32, max_seq_len=12, num_blocks=1, dropout=0.1)
+    with pytest.raises(ValueError):
+        m.evaluate_ranking()
+    m.train(epochs=40, batch_size=32, alpha=0.005, verbose=False,
+            holdout=True)
+    r = m.evaluate_ranking(ks=(1, 10))
+    assert 0.0 <= r["recall@1"] <= r["recall@10"] <= 1.0
+    assert r["ndcg@10"] <= r["recall@10"]
+    assert r["recall@10"] > 0.5  # 12 candidate items, structure learnable
+
+
+def test_forward_only_matches_reference_semantics(seq_graph):
+    """forward_only=True must train ONLY the item table (the reference's
+    training rule, sasrec.go:553-593)."""
+    import jax
+    import jax.numpy as jnp
+
+    m = SASRec(seq_graph, seed=0)
+    m.init(dim=16, max_seq_len=8, num_blocks=1)
+    p0 = jax.tree_util.tree_map(jnp.copy, m.params)
+    m.train(epochs=2, batch_size=16, alpha=0.005, verbose=False,
+            forward_only=True)
+    q0 = p0["params"]["block0"]["q"]["kernel"]
+    q1 = m.params["params"]["block0"]["q"]["kernel"]
+    assert jnp.allclose(q0, q1)  # transformer frozen
+    e0 = p0["params"]["item"]["embedding"]
+    e1 = m.params["params"]["item"]["embedding"]
+    assert not jnp.allclose(e0, e1)  # item table trained
+
+
 def test_sequences_from_graph(seq_graph):
     m = SASRec(seq_graph, seed=0)
     m.max_len = 8
