@@ -342,10 +342,16 @@ def _eco(argv):
     p = _base_parser("eco")
     p.add_argument("-field", default=None)
     p.add_argument("-reg", type=float, default=0.01)
+    p.add_argument("-head", default="dchoice",
+                   choices=("dchoice", "hop_choice", "recall_rank"),
+                   help="dchoice = the reference's live branch "
+                        "(ECO.cpp:107); the others are its commented-out "
+                        "alternates (ECO.cpp:103-110), selectable here")
     a = p.parse_args(argv)
     from smore_tpu.models import ECO
 
-    m = ECO.load_edge_list(a.train, undirected=bool(a.undirected))
+    m = ECO.load_edge_list(a.train, undirected=bool(a.undirected),
+                           head=a.head)
     if a.field:
         m.graph.load_field_meta(a.field)
     m.init(dim=a.dimensions)

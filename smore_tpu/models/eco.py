@@ -5,6 +5,17 @@ field-0 sources; per sample 5 rounds of UpdateDChoice
 (proNet.cpp:2221-2345): c1 = TargetSample(v1), c2 = 2 further hops,
 softmax over {c1 (weight 2), c2 (weight 1), K negatives}, ONE shared
 table, init uniform(-0.5, 0.5) WITHOUT the /dim scale (ECO.cpp:51-57).
+
+The reference ships the family's other kernels only as commented-out
+alternates in the same loop (ECO.cpp:103-110); here they are selectable
+heads so every Choice kernel has a model-level consumer:
+  head="dchoice"     the live branch (default)
+  head="hop_choice"  UpdateHOPChoice(v1, v2) + UpdateHOPChoice(v1, v3,
+                     alpha*0.5) with v2 = TargetSample(v1), v3 = two
+                     further hops (ECO.cpp:105-106), uniform negatives
+  head="recall_rank" UpdateRecallRank(v1): 5 rounds of softmax-choice
+                     with pos = TargetSample(v1) (ECO.cpp:110;
+                     proNet.cpp:1887-2036)
 """
 
 from __future__ import annotations
@@ -14,13 +25,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from smore_tpu.models.base import clamp_batch, PairModelBase, TrainDriver, init_embedding
-from smore_tpu.ops.community import dchoice_step
+from smore_tpu.ops.community import choice_softmax_step, dchoice_step
 from smore_tpu.sampling.fields import FieldTables
 
 
 class ECO(PairModelBase):
-    def __init__(self, graph, seed: int = 0, reg: float = 0.01):
+    def __init__(self, graph, seed: int = 0, reg: float = 0.01,
+                 head: str = "dchoice"):
         super().__init__(graph, seed)
+        if head not in ("dchoice", "hop_choice", "recall_rank"):
+            raise ValueError(f"unknown ECO head {head!r}")
+        self.head = head
         self.reg = reg
         self.rounds = 5
 
@@ -44,12 +59,48 @@ class ECO(PairModelBase):
     def _make_step(self, batch, negatives, collision):
         R = self.rounds
         reg = self.reg
+        head = self.head
+        n = self.graph.n_vertices
 
         def step(state, ctx, key, alpha):
             tables, src_t = ctx
             k1, k2, k3 = jax.random.split(key, 3)
             zeros = jnp.zeros((batch,), dtype=jnp.int32)
             v1 = src_t.negative_field_sample(k1, zeros)
+
+            if head == "hop_choice":
+                # ECO.cpp:102,105-106: v2 = TargetSample(v1), v3 = two
+                # further hops; full-weight update on (v1, v2), half on
+                # (v1, v3); HOPChoice draws UNIFORM negatives
+                # (proNet.cpp:2134-2219 live branch).
+                u = jax.random.uniform(k2, (batch, 3, 2))
+                v2 = tables.target_sample(None, v1, u2=u[:, 0])
+                v3 = tables.target_sample(None, v2, u2=u[:, 1])
+                v3 = tables.target_sample(None, v3, u2=u[:, 2])
+                negs = jax.random.randint(k3, (batch, 2, negatives), 0, n)
+                w, l1 = choice_softmax_step(
+                    state["vertex"], v1, v2, negs[:, 0], alpha, reg=reg,
+                    collision=collision,
+                )
+                w, l2 = choice_softmax_step(
+                    w, v1, v3, negs[:, 1], alpha * 0.5, reg=reg,
+                    collision=collision,
+                )
+                return {"vertex": w}, l1 + l2
+
+            if head == "recall_rank":
+                # ECO.cpp:110: UpdateRecallRank(v1, v1) -- 5 softmax-choice
+                # rounds with a fresh pos = TargetSample(v1) each round
+                # (proNet.cpp:1887-2036); rounds fold into the batch dim.
+                vB = jnp.tile(v1, R)
+                u = jax.random.uniform(k2, (batch * R, 2))
+                pos = tables.target_sample(None, vB, u2=u)
+                negs = tables.negative_sample(k3, (batch * R, negatives))
+                w, loss = choice_softmax_step(
+                    state["vertex"], vB, pos, negs, alpha, reg=reg,
+                    collision=collision,
+                )
+                return {"vertex": w}, loss
 
             # R rounds folded into the batch dim: fresh (c1, c2) per round
             vB = jnp.tile(v1, R)

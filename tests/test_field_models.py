@@ -139,6 +139,25 @@ def test_eco_learns(field_graph):
     assert _gap(field_graph, wv) > 0.0
 
 
+@pytest.mark.parametrize("head", ["hop_choice", "recall_rank"])
+def test_eco_alternate_heads_learn(field_graph, head):
+    """The reference's commented-out Choice alternates (ECO.cpp:103-110)
+    as selectable heads: UpdateHOPChoice / UpdateRecallRank get a
+    model-level consumer."""
+    m = ECO(field_graph, seed=0, head=head)
+    m.init(dim=16)
+    m.train(sample_times=0.05, negative_samples=3, alpha=0.005,
+            batch=32, steps_per_call=8, verbose=False)
+    wv = np.asarray(m.state["vertex"])
+    assert np.isfinite(wv).all()
+    assert _gap(field_graph, wv) > 0.0
+
+
+def test_eco_rejects_unknown_head(field_graph):
+    with pytest.raises(ValueError):
+        ECO(field_graph, head="nope")
+
+
 def test_textgcndev_trains_and_saves(tmp_path_factory, tmp_path):
     """user-event-word 3-field graph for the dev CBOW variant."""
     from smore_tpu.models.gcn import TEXTGCNdev
