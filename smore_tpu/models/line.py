@@ -34,9 +34,16 @@ from smore_tpu.models.base import (
 )
 from smore_tpu.ops.update import (
     sgns_shared_negs_step,
+    sgns_shared_negs_step_banded,
     sgns_step,
     sgns_step_shared,
 )
+
+# XLA random-row scatter-adds keep their small-table cost up to ~131k
+# rows and jump ~5x above ~262k (experiments/band_probe.py); banded
+# stratified updates (sampling/banded.py) restore small-table cost at any
+# scale, so they engage automatically past the cliff.
+BANDED_AUTO_THRESHOLD = 262_144
 
 
 class LINE(PairModelBase):
@@ -126,6 +133,33 @@ class LINE(PairModelBase):
 
         return step
 
+    def _make_banded_step(self, batch, negatives, shared_negatives, group):
+        order = self.order
+        Ks = shared_negatives
+        band_size = self.banded_tables.band_size
+
+        two_d = self.banded_tables.two_d
+
+        def step(state, bt, key, alpha):
+            sb, db, src, pos, negs = bt.draw_banded_batch(
+                key, batch, group, Ks
+            )
+            kw = dict(k_equiv=negatives, src_group=group)
+            if order == 1:
+                w, _, loss = sgns_shared_negs_step_banded(
+                    state["vertex"], state["vertex"], db, band_size,
+                    src, pos, negs, alpha, shared_table=True, **kw,
+                )
+                return {"vertex": w}, loss
+            wv, wc, loss = sgns_shared_negs_step_banded(
+                state["vertex"], state["context"], db, band_size,
+                src, pos, negs, alpha,
+                src_band_start=sb if two_d else None, **kw,
+            )
+            return {"vertex": wv, "context": wc}, loss
+
+        return step
+
     def train(
         self,
         sample_times: int = 10,
@@ -135,20 +169,74 @@ class LINE(PairModelBase):
         steps_per_call: int = 128,
         collision: str = "sum",
         shared_negatives: int = 128,
-        group: int = 8,
+        group: int = 0,  # 0 = auto: 1 on the banded order-2 path (2D
+        # strata make grouped source reuse unnecessary, and group=1 is
+        # the reference's exact per-sample source law -- it matches the
+        # reference's convergence at EVERY budget, not just saturation,
+        # PERF_NOTES.md), 8 everywhere else
         use_pallas: bool = False,  # fused grads kernel; wins only in the
         # UNgrouped config (18.7 vs 18.0 M samples/s) -- in grouped mode
         # XLA's own overlap of draws and grads is faster (PERF_NOTES.md)
+        banded: object = "auto",  # True | False | "auto" (see module
+        # constant): band-stratified updates, the large-table fast path
+        band_size: int = 0,  # 0 = sampling.banded.DEFAULT_BAND_SIZE
         mesh=None,
         sharding: str = "dp",
         verbose: bool = True,
     ) -> None:
         total = int(sample_times * 1_000_000)
+        n = self.graph.n_vertices
+        use_banded = bool(
+            shared_negatives
+            and collision == "sum"
+            and mesh is None
+            and 0 < self.graph.n_edges < (1 << 24)
+            and n < (1 << 24)
+            and (banded is True
+                 or (banded == "auto" and n >= BANDED_AUTO_THRESHOLD))
+        )
+        if group == 0:
+            group = 1 if (use_banded and self.order == 2) else 8
         if group > 1 and batch % group:
             raise ValueError(f"batch {batch} not divisible by group {group}")
         batch = clamp_batch(self.graph.n_vertices, batch, group=group)
         if shared_negatives:
             shared_negatives = min(shared_negatives, batch)
+
+        if use_banded:
+            from smore_tpu.sampling.banded import (
+                DEFAULT_BAND_SIZE,
+                BandedTables,
+            )
+
+            band_size = band_size or DEFAULT_BAND_SIZE
+            two_d = self.order == 2
+            bt = getattr(self, "banded_tables", None)
+            if bt is None or bt.band_size != band_size or bt.two_d != two_d:
+                bt = BandedTables.build(
+                    self.graph, band_size=band_size, two_d=two_d,
+                    vertex_method=self.vertex_method, base=self.tables,
+                )
+                self.banded_tables = bt
+            n_pad = bt.n_rows_padded
+            state = {
+                k: jnp.pad(v, ((0, n_pad - n), (0, 0)))
+                for k, v in self.state.items()
+            }
+            driver = TrainDriver(
+                self._make_banded_step(batch, negative_samples,
+                                       shared_negatives, group),
+                ctx=bt,
+                samples_per_step=batch,
+                alpha=alpha,
+                total_samples=total,
+                steps_per_call=steps_per_call,
+                **self._ckpt_kw(),
+            )
+            out = driver.train(state, self._key(), verbose=verbose)
+            self.state = {k: v[:n] for k, v in out.items()}
+            return
+
         driver = TrainDriver(
             self._make_step(batch, negative_samples, collision,
                             shared_negatives, group, use_pallas),

@@ -916,3 +916,128 @@ def fbpr_step(
     )
     loss = jnp.mean(jax.nn.softplus(-f))
     return w_vertex, w_context, loss
+
+
+# --------------------------------------------------------------------- #
+# BANDED shared-negatives SGNS -- the large-table fast path.
+#
+# Above ~262k rows an XLA random-row scatter-add costs ~5x its small-table
+# price (per-row, table-size-bound; bf16/unique hints don't help --
+# experiments/band_probe.py). The banded step therefore receives a batch
+# whose positive contexts all lie in ONE band of rows (drawn band-
+# stratified by BandedTables.draw_banded_batch, which preserves the exact
+# reference edge-sample law -- see smore_tpu/sampling/banded.py), slices
+# that band out of the big table, scatters at small-table cost, and
+# writes the band back. Negative (and order-1 source) updates may land
+# anywhere, so they are band-split: rows inside the band update the
+# slice, the rest update the big table (both tiny row counts).
+# Measured: 4.9 -> ~20+ M samples/s for LINE o2 at 1.1M vertices.
+# --------------------------------------------------------------------- #
+def sgns_shared_negs_step_banded(
+    w_vertex: jnp.ndarray,  # (Np, D); == w_context when shared_table
+    w_context: jnp.ndarray,  # (Np, D), Np padded to a band multiple
+    band_start: jnp.ndarray,  # () int32, first row of the contexts' band
+    band_size: int,  # static
+    src: jnp.ndarray,  # (B,) repeat layout when src_group > 1
+    pos: jnp.ndarray,  # (B,) GLOBAL vids, all inside the band
+    negs: jnp.ndarray,  # (Ks,) global shared negative pool
+    alpha: jnp.ndarray,
+    k_equiv: int = 5,
+    shared_table: bool = False,  # LINE order-1
+    src_group: int = 1,
+    src_band_start: Optional[jnp.ndarray] = None,  # 2D strata: all src
+    # fall in [src_band_start, +band_size) and the w_vertex gather /
+    # scatter ride a band slice too (sampling/banded.py two_d=True)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Semantics = sgns_shared_negs_step(collision="sum") on the same
+    (src, pos, negs); only the scatter routing differs (verified bitwise
+    in tests/test_banded.py)."""
+    Ks = negs.shape[0]
+    B = src.shape[0]
+    D = w_context.shape[1]
+    n_pad = w_context.shape[0]
+    G = src_group
+    src_banded = src_band_start is not None and not shared_table
+    assert not (shared_table and src_band_start is not None), (
+        "2D banding is for two-table mode; order-1 uses 1D tables"
+    )
+
+    ds = jax.lax.dynamic_slice(w_context, (band_start, 0), (band_size, D))
+    pos_l = pos - band_start
+
+    if src_banded:
+        dsv = jax.lax.dynamic_slice(
+            w_vertex, (src_band_start, 0), (band_size, D)
+        )
+        v_table, src_idx = dsv, src - src_band_start
+    else:
+        v_table, src_idx = w_vertex, src
+    if G > 1:
+        src_small = src_idx[::G]
+        v_small = v_table.at[src_small].get(mode="promise_in_bounds")
+        v = jnp.repeat(v_small, G, axis=0)
+    else:
+        v = v_table.at[src_idx].get(mode="promise_in_bounds")
+    cp = ds.at[pos_l].get(mode="promise_in_bounds")
+    cn = w_context.at[negs].get(mode="promise_in_bounds")
+
+    s_pos_full = jax.nn.sigmoid(jnp.einsum("bd,bd->b", v, cp))
+    f_neg = jnp.dot(v, cn.T, preferred_element_type=jnp.float32)
+    s_neg_full = jax.nn.sigmoid(f_neg)
+    g_pos = (1.0 - s_pos_full) * alpha
+    g_neg = (0.0 - s_neg_full) * (alpha * (k_equiv / Ks))
+    d_src = g_pos[:, None] * cp + jnp.dot(
+        g_neg, cn, preferred_element_type=jnp.float32
+    )
+    d_pos = g_pos[:, None] * v
+    d_neg = jnp.dot(g_neg.T, v, preferred_element_type=jnp.float32)
+
+    # positive scatter: small-table cost inside the band slice
+    ds = ds.at[pos_l].add(d_pos, mode="promise_in_bounds")
+
+    # negatives: band-split (both scatters are Ks rows -- tiny)
+    negs_l = negs - band_start
+    in_b = (negs_l >= 0) & (negs_l < band_size)
+    ds = ds.at[jnp.where(in_b, negs_l, band_size)].add(d_neg, mode="drop")
+    w_context = w_context.at[jnp.where(in_b, n_pad, negs)].add(
+        d_neg, mode="drop"
+    )
+
+    if G > 1:
+        d_src_x = d_src.reshape(B // G, G, D).sum(axis=1)
+        src_x = src_small  # already band-local when src_banded
+    else:
+        d_src_x, src_x = d_src, src_idx
+    if shared_table:
+        # order-1: source rows live in the SAME table -> band-split them
+        # so the band write-back cannot clobber their updates
+        src_l = src_x - band_start
+        in_s = (src_l >= 0) & (src_l < band_size)
+        ds = ds.at[jnp.where(in_s, src_l, band_size)].add(
+            d_src_x, mode="drop"
+        )
+        w_context = w_context.at[jnp.where(in_s, n_pad, src_x)].add(
+            d_src_x, mode="drop"
+        )
+
+    w_context = jax.lax.dynamic_update_slice(
+        w_context, ds, (band_start, 0)
+    )
+    if shared_table:
+        w_vertex = w_context
+    elif src_banded:
+        dsv = dsv.at[src_x].add(d_src_x, mode="promise_in_bounds")
+        w_vertex = jax.lax.dynamic_update_slice(
+            w_vertex, dsv, (src_band_start, 0)
+        )
+    else:
+        w_vertex = w_vertex.at[src_x].add(
+            d_src_x, mode="promise_in_bounds"
+        )
+
+    m = min(1024, B)
+    eps = 1e-7
+    ce = -jnp.log(s_pos_full[:m] + eps) - (k_equiv / Ks) * jnp.sum(
+        jnp.log(1.0 - s_neg_full[:m] + eps), axis=-1
+    )
+    return w_vertex, w_context, jnp.mean(ce)

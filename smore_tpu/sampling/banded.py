@@ -1,0 +1,280 @@
+"""Band-stratified edge sampling: the large-table TPU fast path.
+
+Motivation (measured, experiments/band_probe.py): an XLA scatter-add of B
+random rows costs ~0.5 ms/step while the target table is <= 131k rows and
+~5x that above 262k rows -- the per-row cost is table-size-bound, not
+byte- or locality-bound (bf16 rows and unique-index hints don't help).
+At Youtube scale (~1M vertices) the context-table scatter therefore
+dominates the SGNS step (PERF_NOTES.md "3.6x cliff").
+
+Design: partition the context-table row space into BANDS of `band_size`
+rows. Each training step first draws a band b with probability equal to
+the band's share of the edge-sample mass, then draws its whole batch of
+(src, pos) pairs CONDITIONED on pos being in band b. The step's positive
+scatter then touches only rows [b*band, (b+1)*band), so the kernel
+dynamic-slices that band out of the big table, scatters at small-table
+cost, and writes the band back (~0.15 ms of extra copy traffic).
+
+Law exactness: P(band) * P(src, pos | band) telescopes to the unbanded
+joint edge law P_v(src) * w^0.75 / Z_src (SamplerTables.edge_pa law) --
+the mixture over steps is EXACTLY the reference's two-stage sampling law
+(proNet::SourceSample + TargetSample(vid), proNet.cpp:623-683). The same
+holds per-pair under grouped draws: marginalizing the band out of
+(extra context | src, band) recovers w^0.75 / Z_src. Stratification only
+changes WHICH samples share a step (within-step correlation), as grouped
+draws already do; quality is gated by the community-AUC parity runs.
+
+Memory: the banded edge table stores both the slot edge and its alias
+edge inline, each with its (segment offset, length) for grouped context
+draws -- a (E, 16) f32 row (64 B) so one gather serves the whole draw.
+
+Two flavors (build(two_d=...)):
+  1D (two_d=False): strata = dst band only. The source side is handled
+     by grouped draws (src gather/scatter shrink by the group factor).
+     Used by LINE order-1, where source rows share the context table.
+  2D (two_d=True, default): strata = (src band, dst band) pairs -- BOTH
+     tables' scatters ride a band slice, so group=1 (the reference's
+     exact per-sample source diversity) keeps full speed. Measured: at
+     a 40M budget on the Youtube-scale graph, group=8 lags the
+     reference's convergence (AUC 0.568 vs 0.611) while banded group=1
+     matches it (0.614) -- grouping, not banding, was the gap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from smore_tpu.graph.graph import Graph
+from smore_tpu.sampling.alias import build_alias, build_alias_segmented
+from smore_tpu.sampling.tables import SamplerTables, _vertex_distribution
+
+# edge_pa column layout (slot edge | alias edge):
+#   0 prob | 1 src  2 dst  3 seg_off  4 seg_deg
+#          | 5 asrc 6 adst 7 aseg_off 8 aseg_deg   (9..15 zero pad)
+_EDGE_COLS = 16
+
+# Default band size: ~32k rows (8 MB of f32x64 -- comfortably inside the
+# measured small-scatter regime), a multiple of 8 (f32 sublane tile), but
+# NOT divisible by a large power of two: full-table random scatters are
+# pathologically slow when the table's row count has a large 2-adic
+# factor (measured: a 4k-row scatter into 950,272 = 29*2^15 rows costs
+# ~2 ms vs ~0.35 ms into 921,878; pure 2^19 = 524,288 is the worst case
+# -- experiments/banded_debug3.py / band_probe.py). Since banding pads
+# the table to n_bands * band_size, the band size must carry the
+# de-aliasing: 32776 = 8 * 17 * 241.
+DEFAULT_BAND_SIZE = 32776
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BandedTables:
+    """Device-resident band-stratified edge sampler.
+
+    band_pa:   (n_bands, 2) f32 [prob, alias] -- band mass alias table
+    band_meta: (n_bands, 2) i32 [slot offset, slot count]
+    edge_pa:   (E, 16) f32, banded slot layout (see module docstring)
+    ctx_pa:    (E, 4) f32 [prob, dst, alias_dst, 0] -- within-(src,band)
+               segment context alias table, aligned with edge_pa slots
+    neg_pa:    (N, 2) f32 -- the global negative table (shared with the
+               base SamplerTables; the negative law is NOT banded)
+    """
+
+    band_pa: jnp.ndarray
+    band_meta: jnp.ndarray
+    edge_pa: jnp.ndarray
+    ctx_pa: jnp.ndarray
+    neg_pa: jnp.ndarray
+    band_size: int
+    n_rows_padded: int
+    n_bands: int
+    two_d: bool
+
+    def tree_flatten(self):
+        children = (self.band_pa, self.band_meta, self.edge_pa,
+                    self.ctx_pa, self.neg_pa)
+        return children, (self.band_size, self.n_rows_padded,
+                          self.n_bands, self.two_d)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, band_size=aux[0], n_rows_padded=aux[1],
+                   n_bands=aux[2], two_d=aux[3])
+
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def build(
+        g: Graph,
+        band_size: int = DEFAULT_BAND_SIZE,
+        vertex_method: str = "out_degrees",
+        power: float = 0.75,
+        base: SamplerTables | None = None,
+        two_d: bool = True,
+    ) -> "BandedTables":
+        n, e = g.n_vertices, g.n_edges
+        if e == 0 or e >= (1 << 24) or n >= (1 << 24):
+            raise ValueError(
+                "banded tables need 0 < edges < 2^24 and vertices < 2^24 "
+                "(float32-exact vids); fall back to SamplerTables"
+            )
+        n_bands = -(-n // band_size)
+        n_pad = n_bands * band_size
+
+        src = np.repeat(np.arange(n, dtype=np.int64), np.diff(g.indptr))
+        dst = np.asarray(g.indices, dtype=np.int64)
+        w = np.asarray(g.weights, dtype=np.float64)
+        # stratum of an edge: dst band (1D) or (src band, dst band) (2D)
+        if two_d:
+            strat_of = (src // band_size) * n_bands + dst // band_size
+            n_strata = n_bands * n_bands
+        else:
+            strat_of = dst // band_size
+            n_strata = n_bands
+
+        # sort slots by (stratum, src): strata contiguous, (src, stratum)
+        # segments contiguous within each stratum
+        order = np.lexsort((src, strat_of))
+        bsrc, bdst, bw = src[order], dst[order], w[order]
+        bstrat = strat_of[order]
+
+        # joint edge-sample mass per slot: P_v(src) * w^0.75 / Z_src
+        # (identical law to SamplerTables.edge_pa, tables.py:167-183)
+        vmass = _vertex_distribution(g, vertex_method).astype(np.float64)
+        vmass = np.where(vmass > 0, vmass**power, 0.0)
+        w_pow = np.where(bw > 0, bw**power, 0.0)
+        z = np.zeros(n, dtype=np.float64)
+        np.add.at(z, bsrc, w_pow)
+        jw = (vmass[bsrc] / max(vmass.sum(), 1e-300)) * (
+            w_pow / np.maximum(z[bsrc], 1e-300)
+        )
+
+        strat_off = np.searchsorted(bstrat, np.arange(n_strata))
+        strat_cnt = np.diff(np.append(strat_off, e)).astype(np.int64)
+
+        # stratum mass alias table
+        mass = np.zeros(n_strata, dtype=np.float64)
+        np.add.at(mass, bstrat, jw)
+        bp, ba = build_alias(mass, power=1.0)
+        ba = np.where(ba < 0, np.arange(n_strata), ba)
+
+        # per-stratum edge alias tables (flat, local alias -> global slot)
+        strat_indptr = np.append(strat_off, e).astype(np.int64)
+        ep, ea_local = build_alias_segmented(jw, strat_indptr, power=1.0)
+        slot = np.arange(e, dtype=np.int64)
+        ea = np.where(ea_local >= 0, strat_off[bstrat] + ea_local, slot)
+
+        # (src, stratum) segments: runs of equal src within a stratum
+        change = np.empty(e, dtype=bool)
+        change[0] = True
+        change[1:] = (bsrc[1:] != bsrc[:-1]) | (bstrat[1:] != bstrat[:-1])
+        seg_start_idx = np.flatnonzero(change)
+        seg_id_of_slot = np.cumsum(change) - 1
+        seg_off = seg_start_idx[seg_id_of_slot]
+        seg_indptr = np.append(seg_start_idx, e).astype(np.int64)
+        seg_deg = np.diff(seg_indptr)[seg_id_of_slot]
+
+        # within-segment context alias (extra grouped draws)
+        cp, ca_local = build_alias_segmented(bw, seg_indptr, power=power)
+        ca = np.where(ca_local >= 0, seg_off + ca_local, slot)
+
+        edge_pa = np.zeros((e, _EDGE_COLS), dtype=np.float32)
+        edge_pa[:, 0] = ep
+        edge_pa[:, 1] = bsrc
+        edge_pa[:, 2] = bdst
+        edge_pa[:, 3] = seg_off
+        edge_pa[:, 4] = seg_deg
+        edge_pa[:, 5] = bsrc[ea]
+        edge_pa[:, 6] = bdst[ea]
+        edge_pa[:, 7] = seg_off[ea]
+        edge_pa[:, 8] = seg_deg[ea]
+
+        ctx_pa = np.zeros((e, 4), dtype=np.float32)
+        ctx_pa[:, 0] = cp
+        ctx_pa[:, 1] = bdst
+        ctx_pa[:, 2] = bdst[ca]
+
+        if base is None:
+            neg_pa = SamplerTables.build(g).neg_pa
+        else:
+            neg_pa = base.neg_pa
+        return BandedTables(
+            band_pa=jnp.asarray(np.stack([bp, ba], 1), jnp.float32),
+            band_meta=jnp.asarray(np.stack([strat_off, strat_cnt], 1),
+                                  jnp.int32),
+            edge_pa=jnp.asarray(edge_pa),
+            ctx_pa=jnp.asarray(ctx_pa),
+            neg_pa=neg_pa,
+            band_size=band_size,
+            n_rows_padded=n_pad,
+            n_bands=n_bands,
+            two_d=two_d,
+        )
+
+    # ------------------------------------------------------------------ #
+    def draw_banded_batch(
+        self, key: jax.Array, batch: int, group: int, n_negs: int
+    ):
+        """One stratified step draw.
+
+        Returns (src_band_start, dst_band_start, src, pos, negs):
+          src_band_start: () i32, first row of the sources' band (always
+               0 for 1D tables -- sources are then unconstrained)
+          dst_band_start: () i32, first row of the contexts' band
+          src: (batch,) i32 in repeat layout (group consecutive samples
+               per source; group=1 for ungrouped)
+          pos: (batch,) i32 GLOBAL vids, all within the dst band
+          negs: (n_negs,) i32 global shared negatives (unbanded law)
+        """
+        bg = batch // group
+        kb, ku, kn = jax.random.split(key, 3)
+
+        # stratum draw (one alias draw over n_strata)
+        ub = jax.random.uniform(kb, (2,))
+        ns = self.band_pa.shape[0]
+        i = jnp.minimum((ub[0] * ns).astype(jnp.int32), ns - 1)
+        brow = self.band_pa[i]
+        s = jnp.where(ub[1] < brow[0], i, brow[1].astype(jnp.int32))
+        meta = self.band_meta[s]
+        off, cnt = meta[0], meta[1]
+        if self.two_d:
+            src_band_start = (s // self.n_bands) * self.band_size
+            dst_band_start = (s % self.n_bands) * self.band_size
+        else:
+            src_band_start = jnp.int32(0)
+            dst_band_start = s * self.band_size
+
+        u = jax.random.uniform(ku, (batch, 4))
+        # slot edge draw within the band
+        r = (u[:bg, 0] * cnt).astype(jnp.int32)
+        slot = off + jnp.minimum(r, jnp.maximum(cnt - 1, 0))
+        row = self.edge_pa.at[slot].get(mode="promise_in_bounds")
+        take = (u[:bg, 1] < row[:, 0])[:, None]
+        picked = jnp.where(take, row[:, 1:5], row[:, 5:9])
+        src_small = picked[:, 0].astype(jnp.int32)
+        pos0 = picked[:, 1].astype(jnp.int32)
+        seg_off = picked[:, 2].astype(jnp.int32)
+        seg_deg = picked[:, 3].astype(jnp.int32)
+
+        if group == 1:
+            src, pos = src_small, pos0
+        else:
+            src = jnp.repeat(src_small, group)
+            so = jnp.repeat(seg_off, group)
+            sd = jnp.repeat(seg_deg, group)
+            rr = (u[:, 2] * sd).astype(jnp.int32)
+            cslot = so + jnp.minimum(rr, jnp.maximum(sd - 1, 0))
+            crow = self.ctx_pa.at[cslot].get(mode="promise_in_bounds")
+            pos = jnp.where(u[:, 3] < crow[:, 0], crow[:, 1], crow[:, 2])
+            pos = pos.astype(jnp.int32).at[::group].set(pos0)
+
+        # global shared negatives (law unchanged, tables.py:228-239)
+        un = jax.random.uniform(kn, (n_negs, 2))
+        n = self.neg_pa.shape[0]
+        j = jnp.minimum((un[:, 0] * n).astype(jnp.int32), n - 1)
+        nrow = self.neg_pa.at[j].get(mode="promise_in_bounds")
+        negs = jnp.where(un[:, 1] < nrow[:, 0], j,
+                         nrow[:, 1].astype(jnp.int32))
+        return src_band_start, dst_band_start, src, pos, negs
