@@ -60,9 +60,23 @@ def make_field_file() -> None:
                     out.write(f"{name} {name[0]}\n")
 
 
+def ensure_build_tree() -> None:
+    """Bootstrap the reference build in REF_DIR (same as bench.py's
+    measure_reference; /tmp is ephemeral so this must be self-contained)."""
+    if os.path.exists(os.path.join(REF_DIR, "bin", "libproNet.a")):
+        return
+    os.makedirs(REF_DIR, exist_ok=True)
+    for d in ("src", "cli", "Makefile"):
+        subprocess.run(["cp", "-r", f"/root/reference/{d}", REF_DIR],
+                       check=True)
+    subprocess.run(["make", "-C", REF_DIR], check=True,
+                   capture_output=True)
+
+
 def ensure_binary(model: str) -> str:
     """gcn/textgcn/eco are not in the reference's default CLI target list
     (cli/Makefile:3); compile them the same way the Makefile would."""
+    ensure_build_tree()
     path = os.path.join(REF_DIR, "cli", model)
     if not os.path.exists(path):
         subprocess.run(
