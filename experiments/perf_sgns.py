@@ -29,6 +29,15 @@ Variants:
                indices with unique_indices hints -- scatter ceiling probe
   sortscat   : sort+dedup the pos scatter (argsort, cumsum segment totals,
                unique-index scatter); src/neg scatters unchanged
+  edge_g8_hoist : draws for ALL S scan steps hoisted into ONE mega-draw
+               before the scan (draws are state-independent, so the law is
+               bit-identical); inside the scan the step runs at nodraws
+               cost. Tests whether per-row gather cost amortizes at
+               30x the batch.
+  edge_g8_hm : hoist + meta-repeat: the grouped path's vert_meta gather
+               runs at src_small (B/G rows) and is repeated, instead of
+               gathering the repeated (B,) src (identical by function
+               composition).
 Run: python experiments/perf_sgns.py  (real TPU; ~10-30 min first time)
 """
 
@@ -177,6 +186,31 @@ def draws_two_stage(tables, key):
     return src, pos, negs
 
 
+def hoisted_grouped_draw(tables, key, total, G, n_negs, meta_small=False):
+    """draw_edge_batch_grouped for ``total`` samples in one shot; with
+    meta_small, the per-vertex meta gather runs at the src_small size and
+    is repeated (identical: meta is a pure function of src)."""
+    bg = total // G
+    u = jax.random.uniform(key, (total, 4))
+    src_small, pos0 = tables.edge_sample(key, (bg,), u2=u[:bg, 0:2])
+    src = jnp.repeat(src_small, G)
+    if meta_small:
+        meta = tables.vert_meta.at[src_small].get(mode="promise_in_bounds")
+        meta = jnp.repeat(meta, G, axis=0)
+        off, deg = meta[:, 0], meta[:, 1]
+        u2 = u[:, 2:4]
+        r = (u2[:, 0] * deg).astype(jnp.int32)
+        slot = off + jnp.minimum(r, jnp.maximum(deg - 1, 0))
+        row = tables.ctx_pa.at[slot].get(mode="promise_in_bounds")
+        out = jnp.where(u2[:, 1] < row[:, 0], row[:, 1], row[:, 2])
+        pos = jnp.where(deg > 0, out.astype(jnp.int32), src)
+    else:
+        pos = tables.target_sample(key, src, u2=u[:, 2:4])
+    pos = pos.at[::G].set(pos0)
+    negs = tables.negative_sample(key, (n_negs,), u2=u[bg : bg + n_negs, 0:2])
+    return src, pos, negs
+
+
 def make_step(tables_outer, variant):
     def draws(tables, key):
         if variant.startswith("edge"):
@@ -188,14 +222,17 @@ def make_step(tables_outer, variant):
     G = {
         "group4": 4, "group8": 8, "g4bf16": 4,
         "edge_g8": 8, "edge_g16": 16, "edge_g32": 32, "edge_g8p": 8,
-        "edge_g8_bf16": 8,
+        "edge_g8_bf16": 8, "edge_g8_hoist": 8, "edge_g8_hm": 8,
     }.get(variant, 1)
+    hoisted = variant in ("edge_g8_hoist", "edge_g8_hm")
 
-    def step_t(state, tables, key):
+    def step_t(state, tables, key, pre=None):
         wv, wc = state
         cast = functools.partial(jnp.asarray, dtype=wv.dtype)
 
-        if variant.startswith("edge_g"):
+        if pre is not None:
+            src, pos, negs = pre
+        elif variant.startswith("edge_g"):
             src, pos, negs = tables.draw_edge_batch_grouped(key, B, G, KS)
         elif G > 1:
             u = jax.random.uniform(key, (B, 6))
@@ -255,6 +292,30 @@ def make_step(tables_outer, variant):
         return (wv, wc), jnp.sum(d_src[0])
 
     def call(state, tables, key):
+        if hoisted:
+            # ONE mega-draw for all S steps (draws are state-independent,
+            # so hoisting preserves the law bit-for-bit); the scan body
+            # then runs at nodraws cost over pre-sliced index rows.
+            key, kd = jax.random.split(key)
+            src_a, pos_a, negs_a = hoisted_grouped_draw(
+                tables, kd, B * S, G, KS * S,
+                meta_small=(variant == "edge_g8_hm"),
+            )
+            xs = (
+                src_a.reshape(S, B),
+                pos_a.reshape(S, B),
+                negs_a.reshape(S, KS),
+            )
+
+            def body_h(carry, x):
+                state, key = carry
+                key, sub = jax.random.split(key)
+                state, out = step_t(state, tables, sub, pre=x)
+                return (state, key), out
+
+            (state, key), outs = jax.lax.scan(body_h, (state, key), xs)
+            return state, key, jnp.sum(outs)
+
         def body(carry, _):
             state, key = carry
             key, sub = jax.random.split(key)
@@ -314,6 +375,8 @@ def main():
         ("edge", jnp.float32),
         ("edge_bf16", jnp.bfloat16),
         ("edge_g8", jnp.float32),
+        ("edge_g8_hoist", jnp.float32),
+        ("edge_g8_hm", jnp.float32),
         ("edge_g8_bf16", jnp.bfloat16),
         ("edge_g16", jnp.float32),
         ("edge_g32", jnp.float32),

@@ -29,7 +29,14 @@ DATA = "/tmp/sasrec_eval_edges.txt"
 N_ITEMS = 2000
 N_USERS = 4000
 SEQ_LEN = 30
-EPOCHS = 30
+# 100 epochs @ lr 3e-3 with 5 summed negatives: enough budget for the
+# full-autodiff arm to actually learn the Markov successor structure
+# (recall@10 0.53 vs 0.009 at 30 epochs / 1e-3 / 1 neg, where BOTH arms
+# plateau on the "items vs user-vertices" shortcut and rank items at
+# chance). Both arms get the IDENTICAL budget/hyperparameters.
+EPOCHS = 100
+ALPHA = 0.003
+NEG_K = 5
 
 
 def make_data(path: str, seed: int = 0) -> None:
@@ -54,10 +61,10 @@ def run_arm(cls_name: str, forward_only: bool) -> dict:
     import smore_tpu.models as M
 
     cls = getattr(M, cls_name)
-    m = cls.load_edge_list(DATA)
+    m = cls.load_edge_list(DATA, negative_samples=NEG_K)
     m.init(dim=64, max_seq_len=SEQ_LEN, num_blocks=2, num_heads=1,
            dropout=0.2)
-    m.train(epochs=EPOCHS, batch_size=128, alpha=0.001, verbose=False,
+    m.train(epochs=EPOCHS, batch_size=128, alpha=ALPHA, verbose=False,
             holdout=True, forward_only=forward_only)
     return m.evaluate_ranking(ks=(10,))
 
