@@ -96,6 +96,7 @@ class TrainDriver:
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 1,
         resume: bool = True,
+        micro_steps: int = 1,
     ):
         """mesh: optional jax.sharding.Mesh with axis "d". When given,
         the call runs data-parallel via shard_map: each device draws an
@@ -125,7 +126,15 @@ class TrainDriver:
         restored step counter, so kill-and-resume is step-identical to an
         uninterrupted run. (The reference has no mid-train persistence,
         SURVEY.md 5.4 — this is the production upgrade on top of its
-        final-dump/warm-start surface.)"""
+        final-dump/warm-start surface.)
+
+        micro_steps: when > 1, step_fn consumes micro_steps inner update
+        batches per call (the hoisted mega-draw path, SamplerTables.
+        draw_edge_batches_hoisted) and ``alpha`` is passed as a
+        (micro_steps,) vector — one linearly-decayed value per inner
+        batch, so the schedule matches the unhoisted law at per-batch
+        granularity. samples_per_step must already count ALL inner
+        batches (batch * micro_steps)."""
         if sharding not in ("dp", "rows"):
             raise ValueError(f"sharding must be 'dp' or 'rows', got {sharding!r}")
         self.step_fn = step_fn
@@ -146,6 +155,7 @@ class TrainDriver:
         self.checkpoint_path = checkpoint_path
         self.checkpoint_every = max(1, int(checkpoint_every))
         self.resume = resume
+        self.micro_steps = max(1, int(micro_steps))
 
     def _wrap_dp(self, step_fn: StepFn) -> StepFn:
         """Data-parallel step: shard_map over per-device keys."""
@@ -188,6 +198,7 @@ class TrainDriver:
             step_fn = self._wrap_dp(step_fn)
         S = self.steps_per_call
         n_shards = self.n_shards
+        M = self.micro_steps
 
         # Schedule parameters (alpha0, alpha_min, progress scale) are traced
         # scalars, NOT baked-in constants: one compiled executable serves
@@ -199,6 +210,10 @@ class TrainDriver:
                 state, key = carry
                 key, sub = jax.random.split(key)
                 progress = (step0 + i) * inv_total
+                if M > 1:  # per-inner-batch decay (see micro_steps docs)
+                    progress = progress + (
+                        jnp.arange(M, dtype=jnp.float32) / M
+                    ) * inv_total
                 alpha = jnp.maximum(alpha0 * (1.0 - progress), alpha_min)
                 if use_dp:  # one key per device, even on a 1-device mesh
                     sub = jax.random.split(sub, n_shards)

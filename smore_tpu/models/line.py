@@ -73,6 +73,7 @@ class LINE(PairModelBase):
         shared_negatives: int = 128,
         group: int = 1,
         use_pallas: bool = False,
+        hoist: int = 1,
     ):
         """shared_negatives > 0 (default): draw one pool of that many
         negatives per step and run the MXU fast path (see
@@ -83,8 +84,48 @@ class LINE(PairModelBase):
         context samples (walk-style source reuse; same conditional context
         law and source marginal, verified at AUC parity on the bench
         graph) -- shrinks the source-side draw/gather/scatter by the group
-        factor. use_pallas: fused gradient kernel (TPU backend only)."""
+        factor. use_pallas: fused gradient kernel (TPU backend only).
+
+        hoist > 1: draws for that many consecutive update batches run as
+        ONE mega-draw before an inner scan (identical sampling law --
+        draws are state-independent; SamplerTables.draw_edge_batches_
+        hoisted), amortizing per-row gather costs. 19.1 -> 27.8 M
+        samples/s on the 50k bench (PERF_NOTES.md). ``alpha`` then
+        arrives as a (hoist,) vector from TrainDriver(micro_steps=hoist).
+        Requires shared_negatives, group > 1 and the joint edge table."""
         order = self.order
+
+        if shared_negatives and hoist > 1:
+            Ks = shared_negatives
+
+            def step(state, tables, key, alphas):
+                src_a, pos_a, negs_a = tables.draw_edge_batches_hoisted(
+                    key, batch, group, Ks, hoist
+                )
+                kw = dict(
+                    k_equiv=negatives, collision=collision,
+                    src_group=group, use_pallas=use_pallas,
+                )
+
+                def body(st, x):
+                    src, pos, negs, a = x
+                    if order == 1:
+                        w, _, loss = sgns_shared_negs_step(
+                            st["vertex"], st["vertex"], src, pos, negs,
+                            a, shared_table=True, **kw,
+                        )
+                        return {"vertex": w}, loss
+                    wv, wc, loss = sgns_shared_negs_step(
+                        st["vertex"], st["context"], src, pos, negs, a, **kw,
+                    )
+                    return {"vertex": wv, "context": wc}, loss
+
+                state, losses = jax.lax.scan(
+                    body, state, (src_a, pos_a, negs_a, alphas)
+                )
+                return state, jnp.mean(losses)
+
+            return step
 
         if shared_negatives:
             Ks = shared_negatives
@@ -177,6 +218,13 @@ class LINE(PairModelBase):
         use_pallas: bool = False,  # fused grads kernel; wins only in the
         # UNgrouped config (18.7 vs 18.0 M samples/s) -- in grouped mode
         # XLA's own overlap of draws and grads is faster (PERF_NOTES.md)
+        hoist: int = 0,  # 0 = auto: 32 on the grouped shared-negatives
+        # path (mega-draw for 32 batches at a time, identical law, 1.46x
+        # step win -- see _make_step) for single-chip AND rows sharding
+        # (same logical single-stream program, so rows stays bit-identical
+        # to single-chip), 1 elsewhere (banded path draws per-band; mesh
+        # DP merges per-device deltas each step, so hoisting would change
+        # the merge cadence)
         banded: object = "auto",  # True | False | "auto" (see module
         # constant): band-stratified updates, the large-table fast path
         band_size: int = 0,  # 0 = sampling.banded.DEFAULT_BAND_SIZE
@@ -202,6 +250,18 @@ class LINE(PairModelBase):
         batch = clamp_batch(self.graph.n_vertices, batch, group=group)
         if shared_negatives:
             shared_negatives = min(shared_negatives, batch)
+        if hoist == 0:
+            hoist = (
+                32
+                if (
+                    shared_negatives
+                    and not use_banded
+                    and group > 1
+                    and (mesh is None or sharding == "rows")
+                    and self.build_sampler().has_edge_table
+                )
+                else 1
+            )
 
         if use_banded:
             from smore_tpu.sampling.banded import (
@@ -239,14 +299,15 @@ class LINE(PairModelBase):
 
         driver = TrainDriver(
             self._make_step(batch, negative_samples, collision,
-                            shared_negatives, group, use_pallas),
+                            shared_negatives, group, use_pallas, hoist),
             ctx=self.build_sampler(),
-            samples_per_step=batch,
+            samples_per_step=batch * hoist,
             alpha=alpha,
             total_samples=total,
-            steps_per_call=steps_per_call,
+            steps_per_call=max(1, steps_per_call // hoist),
             mesh=mesh,
             sharding=sharding,
+            micro_steps=hoist,
             **self._ckpt_kw(),
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)

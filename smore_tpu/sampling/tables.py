@@ -311,6 +311,52 @@ class SamplerTables:
         negs = self.negative_sample(key, (n_negs,), u2=u[:n_negs, 4:6])
         return src, pos, negs
 
+    def draw_edge_batches_hoisted(
+        self, key: jax.Array, batch: int, group: int, n_negs: int, steps: int
+    ):
+        """Mega-draw for ``steps`` consecutive grouped edge batches in ONE
+        shot. Identical in law to ``steps`` independent
+        draw_edge_batch_grouped calls: draws are state-independent, so
+        hoisting them out of the update scan changes nothing about the
+        sampling distribution. Two wins (experiments/perf_sgns.py
+        edge_g8_hoist/edge_g8_hm, 19.1 -> 27.8 M samples/s on the 50k
+        bench): the per-row gather fixed costs amortize over steps*batch
+        rows, and the per-vertex meta gather runs at the small
+        (total//group,) source size and is jnp.repeat-ed (identical by
+        composition: vert_meta is a pure function of src).
+
+        Returns (src, pos, negs) shaped (steps, batch), (steps, batch),
+        (steps, n_negs); row i is step i's batch (groups of ``group``
+        consecutive elements share a source, as in the per-step draw).
+        Requires the edge table and batch % group == 0."""
+        total = batch * steps
+        bg = total // group
+        u = jax.random.uniform(key, (total, 4))
+        src_small, pos0 = self.edge_sample(key, (bg,), u2=u[:bg, 0:2])
+        src = jnp.repeat(src_small, group)
+        meta = self.vert_meta.at[src_small].get(mode="promise_in_bounds")
+        meta = jnp.repeat(meta, group, axis=0)
+        off, deg = meta[:, 0], meta[:, 1]
+        u2 = u[:, 2:4]
+        r = (u2[:, 0] * deg).astype(jnp.int32)
+        slot = off + jnp.minimum(r, jnp.maximum(deg - 1, 0))
+        row = self.ctx_pa.at[slot].get(mode="promise_in_bounds")
+        out = jnp.where(u2[:, 1] < row[:, 0], row[:, 1], row[:, 2])
+        pos = jnp.where(deg > 0, out.astype(jnp.int32), src)
+        pos = pos.at[::group].set(pos0)
+        nt = n_negs * steps
+        if bg + nt <= total:
+            # rows bg.. of cols 0:2 are unused by the edge draw
+            u_neg = u[bg : bg + nt, 0:2]
+        else:
+            u_neg = jax.random.uniform(jax.random.fold_in(key, 1), (nt, 2))
+        negs = self.negative_sample(key, (nt,), u2=u_neg)
+        return (
+            src.reshape(steps, batch),
+            pos.reshape(steps, batch),
+            negs.reshape(steps, n_negs),
+        )
+
     def draw_edge_batch_grouped(
         self, key: jax.Array, batch: int, group: int, n_negs: int
     ):
