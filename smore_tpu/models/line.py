@@ -174,17 +174,16 @@ class LINE(PairModelBase):
 
         return step
 
-    def _make_banded_step(self, batch, negatives, shared_negatives, group):
+    def _make_banded_step(self, batch, negatives, shared_negatives, group,
+                          hoist=1):
         order = self.order
         Ks = shared_negatives
         band_size = self.banded_tables.band_size
 
         two_d = self.banded_tables.two_d
 
-        def step(state, bt, key, alpha):
-            sb, db, src, pos, negs = bt.draw_banded_batch(
-                key, batch, group, Ks
-            )
+        def inner(state, x, alpha):
+            sb, db, src, pos, negs = x
             kw = dict(k_equiv=negatives, src_group=group)
             if order == 1:
                 w, _, loss = sgns_shared_negs_step_banded(
@@ -198,6 +197,26 @@ class LINE(PairModelBase):
                 src_band_start=sb if two_d else None, **kw,
             )
             return {"vertex": wv, "context": wc}, loss
+
+        if hoist > 1:
+            # mega-draw for ``hoist`` batches, then an inner scan --
+            # identical law (draws are state-independent); ``alpha``
+            # arrives as a (hoist,) vector from TrainDriver(micro_steps)
+            def step(state, bt, key, alphas):
+                xs = bt.draw_banded_batches_hoisted(
+                    key, batch, group, Ks, hoist
+                )
+                state, losses = jax.lax.scan(
+                    lambda st, x: inner(st, x[:-1], x[-1]),
+                    state, xs + (alphas,),
+                )
+                return state, jnp.mean(losses)
+
+            return step
+
+        def step(state, bt, key, alpha):
+            x = bt.draw_banded_batch(key, batch, group, Ks)
+            return inner(state, x, alpha)
 
         return step
 
@@ -218,13 +237,14 @@ class LINE(PairModelBase):
         use_pallas: bool = False,  # fused grads kernel; wins only in the
         # UNgrouped config (18.7 vs 18.0 M samples/s) -- in grouped mode
         # XLA's own overlap of draws and grads is faster (PERF_NOTES.md)
-        hoist: int = 0,  # 0 = auto: 32 on the grouped shared-negatives
-        # path (mega-draw for 32 batches at a time, identical law, 1.46x
-        # step win -- see _make_step) for single-chip AND rows sharding
-        # (same logical single-stream program, so rows stays bit-identical
-        # to single-chip), 1 elsewhere (banded path draws per-band; mesh
-        # DP merges per-device deltas each step, so hoisting would change
-        # the merge cadence)
+        hoist: int = 0,  # 0 = auto: mega-draw for N batches at a time
+        # (identical law -- draws are state-independent). 32 on the
+        # grouped shared-negatives path (1.46x, _make_step) for
+        # single-chip AND rows sharding (same logical single-stream
+        # program, so rows stays bit-identical to single-chip); 8 on the
+        # banded path (1.17x at Youtube scale, _make_banded_step); 1
+        # under mesh DP (per-device deltas merge each step, so hoisting
+        # would change the merge cadence)
         banded: object = "auto",  # True | False | "auto" (see module
         # constant): band-stratified updates, the large-table fast path
         band_size: int = 0,  # 0 = sampling.banded.DEFAULT_BAND_SIZE
@@ -251,17 +271,19 @@ class LINE(PairModelBase):
         if shared_negatives:
             shared_negatives = min(shared_negatives, batch)
         if hoist == 0:
-            hoist = (
-                32
-                if (
-                    shared_negatives
-                    and not use_banded
-                    and group > 1
-                    and (mesh is None or sharding == "rows")
-                    and self.build_sampler().has_edge_table
-                )
-                else 1
-            )
+            if use_banded and shared_negatives:
+                hoist = 8  # saturation point at Youtube scale
+                # (experiments/banded_hoist.py: 16.7 -> 19.6 M samples/s,
+                # flat from 8 to 32)
+            elif (
+                shared_negatives
+                and group > 1
+                and (mesh is None or sharding == "rows")
+                and self.build_sampler().has_edge_table
+            ):
+                hoist = 32
+            else:
+                hoist = 1
 
         if use_banded:
             from smore_tpu.sampling.banded import (
@@ -285,12 +307,13 @@ class LINE(PairModelBase):
             }
             driver = TrainDriver(
                 self._make_banded_step(batch, negative_samples,
-                                       shared_negatives, group),
+                                       shared_negatives, group, hoist),
                 ctx=bt,
-                samples_per_step=batch,
+                samples_per_step=batch * hoist,
                 alpha=alpha,
                 total_samples=total,
-                steps_per_call=steps_per_call,
+                steps_per_call=max(1, steps_per_call // hoist),
+                micro_steps=hoist,
                 **self._ckpt_kw(),
             )
             out = driver.train(state, self._key(), verbose=verbose)

@@ -278,3 +278,81 @@ class BandedTables:
         negs = jnp.where(un[:, 1] < nrow[:, 0], j,
                          nrow[:, 1].astype(jnp.int32))
         return src_band_start, dst_band_start, src, pos, negs
+
+    def draw_banded_batches_hoisted(
+        self, key: jax.Array, batch: int, group: int, n_negs: int,
+        steps: int,
+    ):
+        """``steps`` consecutive draw_banded_batch draws in ONE shot.
+
+        Identical in law to ``steps`` independent per-step draws: the
+        band alias, within-band slot, grouped-context, and negative
+        draws are all state-independent, so hoisting them out of the
+        update scan changes nothing about the sampling distribution
+        (same transform as SamplerTables.draw_edge_batches_hoisted,
+        tables.py). Amortizing the per-gather fixed costs lifts the
+        Youtube-scale banded step 16.7 -> 19.6 M samples/s
+        (experiments/banded_hoist.py, saturates at steps=8).
+
+        Returns (sb, db, src, pos, negs) shaped (steps,), (steps,),
+        (steps, batch), (steps, batch), (steps, n_negs); row i is step
+        i's draw, same layout as draw_banded_batch."""
+        bg = batch // group
+        kb, ku, kn = jax.random.split(key, 3)
+
+        ub = jax.random.uniform(kb, (steps, 2))
+        ns = self.band_pa.shape[0]
+        i = jnp.minimum((ub[:, 0] * ns).astype(jnp.int32), ns - 1)
+        brow = self.band_pa.at[i].get(mode="promise_in_bounds")
+        s = jnp.where(ub[:, 1] < brow[:, 0], i,
+                      brow[:, 1].astype(jnp.int32))
+        meta = self.band_meta.at[s].get(mode="promise_in_bounds")
+        off, cnt = meta[:, 0], meta[:, 1]
+        if self.two_d:
+            sb = (s // self.n_bands) * self.band_size
+            db = (s % self.n_bands) * self.band_size
+        else:
+            sb = jnp.zeros((steps,), jnp.int32)
+            db = s * self.band_size
+
+        u = jax.random.uniform(ku, (steps, batch, 4))
+        r = (u[:, :bg, 0] * cnt[:, None].astype(jnp.float32)).astype(
+            jnp.int32
+        )
+        slot = off[:, None] + jnp.minimum(
+            r, jnp.maximum(cnt[:, None] - 1, 0)
+        )
+        row = self.edge_pa.at[slot.reshape(-1)].get(
+            mode="promise_in_bounds"
+        ).reshape(steps, bg, -1)
+        take = (u[:, :bg, 1] < row[:, :, 0])[:, :, None]
+        picked = jnp.where(take, row[:, :, 1:5], row[:, :, 5:9])
+        src_small = picked[:, :, 0].astype(jnp.int32)
+        pos0 = picked[:, :, 1].astype(jnp.int32)
+
+        if group == 1:
+            src, pos = src_small, pos0
+        else:
+            seg_off = picked[:, :, 2].astype(jnp.int32)
+            seg_deg = picked[:, :, 3].astype(jnp.int32)
+            src = jnp.repeat(src_small, group, axis=1)
+            so = jnp.repeat(seg_off, group, axis=1)
+            sd = jnp.repeat(seg_deg, group, axis=1)
+            rr = (u[:, :, 2] * sd.astype(jnp.float32)).astype(jnp.int32)
+            cslot = so + jnp.minimum(rr, jnp.maximum(sd - 1, 0))
+            crow = self.ctx_pa.at[cslot.reshape(-1)].get(
+                mode="promise_in_bounds"
+            ).reshape(steps, batch, -1)
+            pos = jnp.where(u[:, :, 3] < crow[:, :, 0], crow[:, :, 1],
+                            crow[:, :, 2]).astype(jnp.int32)
+            pos = pos.at[:, ::group].set(pos0)
+
+        un = jax.random.uniform(kn, (steps, n_negs, 2))
+        n = self.neg_pa.shape[0]
+        j = jnp.minimum((un[:, :, 0] * n).astype(jnp.int32), n - 1)
+        nrow = self.neg_pa.at[j.reshape(-1)].get(
+            mode="promise_in_bounds"
+        ).reshape(steps, n_negs, -1)
+        negs = jnp.where(un[:, :, 1] < nrow[:, :, 0], j,
+                         nrow[:, :, 1].astype(jnp.int32))
+        return sb, db, src, pos, negs

@@ -108,3 +108,77 @@ def test_line_hoist_path_learns_communities(order):
             banded=False, verbose=False)
     assert np.isfinite(np.asarray(m.state["vertex"])).all()
     assert _sep(m, g) > 0.2
+
+
+def test_banded_hoisted_draw_matches_exact_joint_law(toy_graph):
+    """The mixture over hoisted steps must telescope to the exact
+    unbanded joint edge law (same check as the per-step banded draw;
+    each STEP contributes one band draw, so use many small steps)."""
+    from smore_tpu.sampling.banded import BandedTables
+    from smore_tpu.sampling.tables import _vertex_distribution
+
+    bt = BandedTables.build(toy_graph, band_size=4, two_d=True)
+    S, B, G = 3000, 32, 1
+    sb, db, src, pos, negs = bt.draw_banded_batches_hoisted(
+        jax.random.PRNGKey(0), B, G, 16, S
+    )
+    assert sb.shape == (S,) and db.shape == (S,)
+    assert src.shape == (S, B) and pos.shape == (S, B)
+    assert negs.shape == (S, 16)
+    # per-step band consistency: all pos/src in step i fall in its band
+    db_np, pos_np = np.asarray(db)[:, None], np.asarray(pos)
+    assert ((pos_np >= db_np) & (pos_np < db_np + 4)).all()
+    sb_np, src_np = np.asarray(sb)[:, None], np.asarray(src)
+    assert ((src_np >= sb_np) & (src_np < sb_np + 4)).all()
+
+    g = toy_graph
+    seg = np.repeat(np.arange(g.n_vertices), np.diff(g.indptr))
+    vmass = _vertex_distribution(g, "out_degrees").astype(np.float64)
+    vmass = np.where(vmass > 0, vmass**0.75, 0.0)
+    w = np.asarray(g.weights, dtype=np.float64) ** 0.75
+    z = np.zeros(g.n_vertices)
+    np.add.at(z, seg, w)
+    jw = (vmass[seg] / vmass.sum()) * (w / z[seg])
+    expect = {}
+    for e in range(g.n_edges):
+        k = (seg[e], g.indices[e])
+        expect[k] = expect.get(k, 0.0) + jw[e]
+    emp = {}
+    n = S * B
+    for s, p in zip(src_np.ravel(), pos_np.ravel()):
+        emp[(s, p)] = emp.get((s, p), 0) + 1.0 / n
+    for k, v in expect.items():
+        assert abs(emp.get(k, 0.0) - v) < 0.02, (k, emp.get(k, 0.0), v)
+
+
+def test_banded_hoisted_draw_grouped(toy_graph):
+    from smore_tpu.sampling.banded import BandedTables
+
+    bt = BandedTables.build(toy_graph, band_size=4, two_d=True)
+    S, B, G = 6, 32, 4
+    sb, db, src, pos, negs = bt.draw_banded_batches_hoisted(
+        jax.random.PRNGKey(1), B, G, 8, S
+    )
+    src = np.asarray(src)
+    grouped = src.reshape(S, -1, G)
+    assert (grouped == grouped[:, :, :1]).all()
+    db_np = np.asarray(db)[:, None]
+    pos_np = np.asarray(pos)
+    assert ((pos_np >= db_np) & (pos_np < db_np + 4)).all()
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_line_banded_hoist_quality(order):
+    """Banded + hoist e2e: same community quality as banded hoist=1."""
+    g = _comm_graph()
+    seps = {}
+    for hoist in (1, 4):
+        m = LINE(g, seed=0)
+        m.init(dim=16, order=order)
+        m.train(sample_times=0.1, negative_samples=5, alpha=0.02,
+                batch=32, group=1, hoist=hoist, steps_per_call=32,
+                banded=True, band_size=8, verbose=False)
+        assert np.isfinite(np.asarray(m.state["vertex"])).all()
+        seps[hoist] = _sep(m, g)
+    assert seps[4] > 0.15, seps
+    assert abs(seps[4] - seps[1]) < 0.25, seps
