@@ -41,18 +41,43 @@ class _SharedTableRec(PairModelBase):
     def _n_negs(self) -> int:
         raise NotImplementedError
 
-    def _make_step(self, batch: int, collision: str):
+    def _make_step(self, batch: int, collision: str, hoist: int = 1):
         R = self._n_negs()
 
-        def step(state, tables, key, alpha):
+        def draw(tables, key, n):
             k1, k2, k3 = jax.random.split(key, 3)
             if tables.has_edge_table:
                 # one-gather joint (user, item) draw, same two-stage law
-                src, pos = tables.edge_sample(k1, (batch,))
+                src, pos = tables.edge_sample(k1, (n,))
             else:
-                src = tables.source_sample(k1, (batch,))
+                src = tables.source_sample(k1, (n,))
                 pos = tables.target_sample(k2, src)
-            negs = tables.negative_sample(k3, (batch, R))
+            negs = tables.negative_sample(k3, (n, R))
+            return src, pos, negs
+
+        if hoist > 1:
+            # mega-draw for ``hoist`` batches then an inner scan --
+            # identical law (iid draws, state-independent; the same
+            # transform as LINE's hoist, models/line.py). ``alpha``
+            # arrives as a (hoist,) vector (TrainDriver micro_steps).
+            def step(state, tables, key, alphas):
+                src, pos, negs = draw(tables, key, hoist * batch)
+                xs = (src.reshape(hoist, batch), pos.reshape(hoist, batch),
+                      negs.reshape(hoist, batch, R), alphas)
+
+                def body(st, x):
+                    src_i, pos_i, negs_i, a = x
+                    w, loss = self._kernel(st, src_i, pos_i, negs_i, a,
+                                           collision)
+                    return {"vertex": w}, loss
+
+                state, losses = jax.lax.scan(body, state, xs)
+                return state, jnp.mean(losses)
+
+            return step
+
+        def step(state, tables, key, alpha):
+            src, pos, negs = draw(tables, key, batch)
             w, loss = self._kernel(state, src, pos, negs, alpha, collision)
             return {"vertex": w}, loss
 
@@ -65,6 +90,9 @@ class _SharedTableRec(PairModelBase):
         batch: int = 8192,
         steps_per_call: int = 128,
         collision: str = "sum",
+        hoist: int = 1,  # draws for N batches as one mega-draw before an
+        # inner scan (identical law; see models/line.py). Off by default
+        # until measured per-model; single-stream configs only.
         mesh=None,
         verbose: bool = True,
         **kw,
@@ -74,13 +102,16 @@ class _SharedTableRec(PairModelBase):
                 raise TypeError(f"unknown train arg {k!r}")
             setattr(self, k, v)
         batch = clamp_batch(self.graph.n_vertices, batch)
+        if mesh is not None:
+            hoist = 1  # DP merges per-device deltas every step
         driver = TrainDriver(
-            self._make_step(batch, collision),
+            self._make_step(batch, collision, hoist),
             ctx=self.build_sampler(),
-            samples_per_step=batch,
+            samples_per_step=batch * hoist,
             alpha=alpha,
             total_samples=int(sample_times * 1_000_000),
-            steps_per_call=steps_per_call,
+            steps_per_call=max(1, steps_per_call // hoist),
+            micro_steps=hoist,
             mesh=mesh,
             **self._ckpt_kw(),
         )

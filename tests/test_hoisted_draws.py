@@ -182,3 +182,18 @@ def test_line_banded_hoist_quality(order):
         seps[hoist] = _sep(m, g)
     assert seps[4] > 0.15, seps
     assert abs(seps[4] - seps[1]) < 0.25, seps
+
+
+@pytest.mark.parametrize("cls_name", ["BPR", "MF", "WARP"])
+def test_rec_hoist_path_trains(cls_name):
+    """Rec-family hoist: same mega-draw transform; model still learns
+    (connected pairs outscore random) and stays finite."""
+    from smore_tpu.models import rec
+
+    g = _comm_graph()
+    m = getattr(rec, cls_name)(g, seed=0)
+    m.init(dim=16)
+    m.train(sample_times=0.05, alpha=0.02, batch=32, hoist=4,
+            steps_per_call=32, collision="mean", verbose=False)
+    assert np.isfinite(np.asarray(m.state["vertex"])).all()
+    assert _sep(m, g) > 0.1
