@@ -41,6 +41,9 @@ class DeepWalk(WalkSGNSBase):
         steps_per_call: int = 64,
         shared_negatives: int = 256,
         collision: str = "sum",
+        hoist: int = 1,  # walk-generation mega-draw for N batches before
+        # an inner update scan (identical law; models/walk_base.py). Off
+        # by default until measured on hardware; single-stream only.
         mesh=None,
         sharding: str = "dp",
         verbose: bool = True,
@@ -48,6 +51,7 @@ class DeepWalk(WalkSGNSBase):
         self.walk_steps = walk_steps
         self.window_size = window_size
         self._run(
+            hoist=hoist,
             total_walks=walk_times * self.graph.n_vertices,
             batch_walks=batch_walks,
             negatives=negative_samples,

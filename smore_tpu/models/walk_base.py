@@ -52,22 +52,51 @@ class WalkSGNSBase(PairModelBase):
 
     def _make_step(
         self, batch_walks: int, negatives: int, shared_negatives: int,
-        collision: str,
+        collision: str, hoist: int = 1,
     ):
-        def step(state, ctx, key, alpha):
+        def draw(ctx, key, n_walks, n_negs):
             tables = self._tables_of(ctx)
             k_s, k_w, k_n = jax.random.split(key, 3)
             n = tables.vertex_prob.shape[0]
             starts = jax.random.randint(
-                k_s, (batch_walks,), 0, n, dtype=jnp.int32
+                k_s, (n_walks,), 0, n, dtype=jnp.int32
             )
             src, pos, mask = self._emit_pairs(ctx, k_w, starts)
-            negs = tables.negative_sample(k_n, (shared_negatives,))
+            negs = tables.negative_sample(k_n, (n_negs,))
+            return src, pos, mask, negs
+
+        def update(state, x, alpha):
+            src, pos, mask, negs = x
             wv, wc, loss = sgns_shared_negs_step(
                 state["vertex"], state["context"], src, pos, negs,
                 alpha, k_equiv=negatives, mask=mask, collision=collision,
             )
             return {"vertex": wv, "context": wc}, loss
+
+        if hoist > 1:
+            # Walk generation for ``hoist`` batches in ONE call (walks
+            # are state-independent, so this is the same law-preserving
+            # mega-draw as LINE's hoist, models/line.py); the mapper's
+            # flat pair arrays are per-walk blocks in start order, so the
+            # (hoist, batch*pairs_per_walk) reshape is exact.
+            def step(state, ctx, key, alphas):
+                src, pos, mask, negs = draw(
+                    ctx, key, hoist * batch_walks,
+                    hoist * shared_negatives,
+                )
+                xs = (src.reshape(hoist, -1), pos.reshape(hoist, -1),
+                      mask.reshape(hoist, -1),
+                      negs.reshape(hoist, shared_negatives), alphas)
+                state, losses = jax.lax.scan(
+                    lambda st, x: update(st, x[:4], x[4]), state, xs
+                )
+                return state, jnp.mean(losses)
+
+            return step
+
+        def step(state, ctx, key, alpha):
+            x = draw(ctx, key, batch_walks, shared_negatives)
+            return update(state, x, alpha)
 
         return step
 
@@ -83,16 +112,20 @@ class WalkSGNSBase(PairModelBase):
         verbose: bool,
         mesh=None,
         sharding: str = "dp",
+        hoist: int = 1,
     ) -> None:
+        if mesh is not None and sharding == "dp":
+            hoist = 1  # DP merges per-device deltas every step
         driver = TrainDriver(
             self._make_step(
-                batch_walks, negatives, shared_negatives, collision
+                batch_walks, negatives, shared_negatives, collision, hoist
             ),
             ctx=self._make_ctx(),
-            samples_per_step=batch_walks,  # schedule counts WALKS
+            samples_per_step=batch_walks * hoist,  # schedule counts WALKS
             alpha=alpha,
             total_samples=total_walks,
-            steps_per_call=steps_per_call,
+            steps_per_call=max(1, steps_per_call // hoist),
+            micro_steps=hoist,
             mesh=mesh,
             sharding=sharding,
             **self._ckpt_kw(),

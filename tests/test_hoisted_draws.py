@@ -197,3 +197,16 @@ def test_rec_hoist_path_trains(cls_name):
             steps_per_call=32, collision="mean", verbose=False)
     assert np.isfinite(np.asarray(m.state["vertex"])).all()
     assert _sep(m, g) > 0.1
+
+
+def test_deepwalk_hoist_path_learns_communities():
+    from smore_tpu.models.deepwalk import DeepWalk
+
+    g = _comm_graph()
+    m = DeepWalk(g, seed=0)
+    m.init(dim=16)
+    m.train(walk_times=60, walk_steps=10, window_size=3,
+            negative_samples=5, alpha=0.01, batch_walks=8, hoist=4,
+            steps_per_call=8, collision="sum", verbose=False)
+    assert np.isfinite(np.asarray(m.state["vertex"])).all()
+    assert _sep(m, g) > 0.2
