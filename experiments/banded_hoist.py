@@ -86,7 +86,7 @@ def hoisted_banded_draw(bt, key, batch, group, n_negs, steps):
     return sb, db, src, pos, negs
 
 
-def make_call(bt, hoist, group):
+def make_call(bt, hoist, group, pallas_scatter=False):
     from smore_tpu.ops.update import sgns_shared_negs_step_banded
 
     band_size = bt.band_size
@@ -99,6 +99,7 @@ def make_call(bt, hoist, group):
             state["vertex"], state["context"], db, band_size,
             src, pos, negs, alpha, k_equiv=NEGK, src_group=group,
             src_band_start=sb if two_d else None,
+            pallas_scatter=pallas_scatter,
         )
         return {"vertex": wv, "context": wc}, loss
 
@@ -128,7 +129,11 @@ def make_call(bt, hoist, group):
 
 
 def main():
-    hoists = [int(a) for a in sys.argv[1:]] or [1, 8, 16, 32]
+    # args: hoist counts; a "pN" arg adds a pallas-scatter arm at hoist N
+    pallas_arms = [int(a[1:]) for a in sys.argv[1:] if a.startswith("p")]
+    hoists = [int(a) for a in sys.argv[1:] if not a.startswith("p")] or (
+        [] if pallas_arms else [1, 8, 16, 32]
+    )
     make_youtube_graph(YT_GRAPH_PATH)
     from smore_tpu.graph.graph import Graph
     from smore_tpu.sampling.banded import BandedTables
@@ -142,7 +147,8 @@ def main():
           f"({bt.n_bands} bands, pad {bt.n_rows_padded})", flush=True)
     group = 1  # the production YT config (reference-exact source law)
 
-    for hoist in hoists:
+    arms = [(h, False) for h in hoists] + [(h, True) for h in pallas_arms]
+    for hoist, use_pallas in arms:
         key = jax.random.PRNGKey(0)
         state = {
             "vertex": jax.random.uniform(
@@ -150,7 +156,7 @@ def main():
             ),
             "context": jnp.zeros((bt.n_rows_padded, D), jnp.float32),
         }
-        call = make_call(bt, hoist, group)
+        call = make_call(bt, hoist, group, use_pallas)
         t0 = time.time()
         state, loss = call(state, bt, key)
         float(loss)
@@ -162,9 +168,10 @@ def main():
         float(loss)
         dt = (time.time() - t0) / reps
         rate = CALL_STEPS * B / dt
-        print(f"hoist={hoist:3d}  {dt / CALL_STEPS * 1e3:7.3f} ms/step  "
-              f"{rate / 1e6:7.2f} M samples/s  (compile {comp:.0f}s)",
-              flush=True)
+        tag = "+pallas_scat" if use_pallas else ""
+        print(f"hoist={hoist:3d}{tag:13s} {dt / CALL_STEPS * 1e3:7.3f} "
+              f"ms/step  {rate / 1e6:7.2f} M samples/s  "
+              f"(compile {comp:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":

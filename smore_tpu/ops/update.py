@@ -948,10 +948,25 @@ def sgns_shared_negs_step_banded(
     src_band_start: Optional[jnp.ndarray] = None,  # 2D strata: all src
     # fall in [src_band_start, +band_size) and the w_vertex gather /
     # scatter ride a band slice too (sampling/banded.py two_d=True)
+    pallas_scatter: bool = False,  # route the two BIG in-band
+    # scatter-adds (B pos rows, B/G src rows) through the serial
+    # in-VMEM Pallas kernel (ops/pallas_scatter.py) instead of XLA's
+    # scatter engine; identical sum semantics up to float ordering
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Semantics = sgns_shared_negs_step(collision="sum") on the same
     (src, pos, negs); only the scatter routing differs (verified bitwise
     in tests/test_banded.py)."""
+    if pallas_scatter:
+        from smore_tpu.ops.pallas_scatter import band_scatter_add
+
+        # interpret mode on the CPU test backend; compiled on TPU/axon
+        _interp = jax.default_backend() == "cpu"
+
+        def _scat(band, idx, delta):
+            return band_scatter_add(band, idx, delta, interpret=_interp)
+    else:
+        def _scat(band, idx, delta):
+            return band.at[idx].add(delta, mode="promise_in_bounds")
     Ks = negs.shape[0]
     B = src.shape[0]
     D = w_context.shape[1]
@@ -993,7 +1008,7 @@ def sgns_shared_negs_step_banded(
     d_neg = jnp.dot(g_neg.T, v, preferred_element_type=jnp.float32)
 
     # positive scatter: small-table cost inside the band slice
-    ds = ds.at[pos_l].add(d_pos, mode="promise_in_bounds")
+    ds = _scat(ds, pos_l, d_pos)
 
     # negatives: band-split (both scatters are Ks rows -- tiny)
     negs_l = negs - band_start
@@ -1026,7 +1041,7 @@ def sgns_shared_negs_step_banded(
     if shared_table:
         w_vertex = w_context
     elif src_banded:
-        dsv = dsv.at[src_x].add(d_src_x, mode="promise_in_bounds")
+        dsv = _scat(dsv, src_x, d_src_x)
         w_vertex = jax.lax.dynamic_update_slice(
             w_vertex, dsv, (src_band_start, 0)
         )
