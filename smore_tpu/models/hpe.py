@@ -69,22 +69,26 @@ class HPE(PairModelBase):
         }
         self.build_sampler()
 
-    def _make_step(self, batch, negatives, shared_negatives, collision):
+    def _make_step(self, batch, negatives, shared_negatives, collision,
+                   hoist=1):
         S = self.walk_steps
         reg = self.reg
 
-        def step(state, tables, key, alpha):
+        def draw(tables, key, n, n_negs):
             k1, k2, k3, k4 = jax.random.split(key, 4)
             if tables.has_edge_table:
-                src, pos = tables.edge_sample(k1, (batch,))
+                src, pos = tables.edge_sample(k1, (n,))
             else:
-                src = tables.source_sample(k1, (batch,))
+                src = tables.source_sample(k1, (n,))
                 pos = tables.target_sample(k2, src)
-            negs = tables.negative_sample(k3, (shared_negatives,))
+            negs = tables.negative_sample(k3, (n_negs,))
+            cv, cc, cmask = community_walk_pairs(tables, k4, src, pos, S)
+            return src, pos, negs, cv, cc, cmask
 
+        def update(state, x, alpha):
+            src, pos, negs, cv, cc, cmask = x
             wv, wc = state["vertex"], state["context"]
             # community: v1 vs walk-extended contexts of v2, with L2
-            cv, cc, cmask = community_walk_pairs(tables, k4, src, pos, S)
             wv, wc, l1 = sgns_shared_negs_step(
                 wv, wc, cv, cc, negs, alpha, k_equiv=negatives,
                 mask=cmask, reg=reg, collision=collision,
@@ -95,6 +99,31 @@ class HPE(PairModelBase):
                 collision=collision,
             )
             return {"vertex": wv, "context": wc}, l1 + l2
+
+        if hoist > 1:
+            # mega-draw (edges + community walks + negatives are all
+            # state-independent; same law-preserving transform as LINE's
+            # hoist). community_walk_pairs flattens per-sample blocks in
+            # draw order, so the (hoist, batch*S) reshape is exact.
+            def step(state, tables, key, alphas):
+                src, pos, negs, cv, cc, cmask = draw(
+                    tables, key, hoist * batch, hoist * shared_negatives
+                )
+                xs = (src.reshape(hoist, batch), pos.reshape(hoist, batch),
+                      negs.reshape(hoist, shared_negatives),
+                      cv.reshape(hoist, -1), cc.reshape(hoist, -1),
+                      cmask.reshape(hoist, -1))
+                state, losses = jax.lax.scan(
+                    lambda st, x: update(st, x[:6], x[6]),
+                    state, xs + (alphas,),
+                )
+                return state, jnp.mean(losses)
+
+            return step
+
+        def step(state, tables, key, alpha):
+            return update(state, draw(tables, key, batch,
+                                      shared_negatives), alpha)
 
         return step
 
@@ -109,18 +138,22 @@ class HPE(PairModelBase):
         steps_per_call: int = 64,
         shared_negatives: int = 256,
         collision: str = "sum",
+        hoist: int = 1,  # mega-draw for N batches (identical law; see
+        # models/line.py). Off by default until measured on hardware.
         verbose: bool = True,
     ) -> None:
         self.walk_steps = walk_steps
         self.reg = reg
         batch = clamp_batch(self.graph.n_vertices, batch)
         driver = TrainDriver(
-            self._make_step(batch, negative_samples, shared_negatives, collision),
+            self._make_step(batch, negative_samples, shared_negatives,
+                            collision, hoist),
             ctx=self.build_sampler(),
-            samples_per_step=batch,
+            samples_per_step=batch * hoist,
             alpha=alpha,
             total_samples=int(sample_times * 1_000_000),
-            steps_per_call=steps_per_call,
+            steps_per_call=max(1, steps_per_call // hoist),
+            micro_steps=hoist,
             **self._ckpt_kw(),
         )
         self.state = driver.train(self.state, self._key(), verbose=verbose)

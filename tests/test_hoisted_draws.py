@@ -210,3 +210,15 @@ def test_deepwalk_hoist_path_learns_communities():
             steps_per_call=8, collision="sum", verbose=False)
     assert np.isfinite(np.asarray(m.state["vertex"])).all()
     assert _sep(m, g) > 0.2
+
+
+def test_hpe_hoist_path_trains():
+    from smore_tpu.models.hpe import HPE
+
+    g = _comm_graph()
+    m = HPE(g, seed=0)
+    m.init(dim=16)
+    m.train(sample_times=0.05, walk_steps=3, alpha=0.02, batch=32,
+            hoist=4, steps_per_call=32, collision="mean", verbose=False)
+    assert np.isfinite(np.asarray(m.state["vertex"])).all()
+    assert _sep(m, g) > 0.1
