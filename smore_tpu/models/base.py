@@ -137,6 +137,12 @@ class TrainDriver:
         batches (batch * micro_steps)."""
         if sharding not in ("dp", "rows"):
             raise ValueError(f"sharding must be 'dp' or 'rows', got {sharding!r}")
+        if micro_steps > 1 and mesh is not None and sharding == "dp":
+            # DP merges per-device deltas EVERY step; hoisting inner
+            # batches would change the merge cadence (callers force
+            # hoist=1 under DP -- this guards direct TrainDriver use)
+            raise ValueError("micro_steps > 1 is incompatible with DP "
+                             "sharding (use sharding='rows' or no mesh)")
         self.step_fn = step_fn
         self.ctx = ctx
         self.mesh = mesh
