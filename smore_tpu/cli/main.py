@@ -88,10 +88,11 @@ def _warm_start(m, a) -> None:
 def _line(argv):
     p = _base_parser("line")
     p.add_argument("-order", type=int, default=2)
-    p.add_argument("-group", type=int, default=8,
-                   help="contexts drawn per source per step (1 = strict "
-                        "per-sample sources; >1 is walk-style reuse, "
-                        "AUC-parity verified)")
+    p.add_argument("-group", type=int, default=0,
+                   help="contexts drawn per source per step (0 = auto: "
+                        "1 on the banded large-graph path, 8 elsewhere; "
+                        "1 = strict per-sample sources; >1 is walk-style "
+                        "reuse, AUC-parity verified)")
     p.add_argument("-load_v", default=None, help="pretrained vertex warm start")
     p.add_argument("-load_c", default=None, help="pretrained context warm start")
     a = p.parse_args(argv)

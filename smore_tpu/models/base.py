@@ -44,6 +44,28 @@ StepFn = Callable[
 ALPHA_MIN_FRAC = 1e-4  # reference: alpha_min = alpha * 0.0001
 
 
+def hoisted_scan_step(draw_fn, update_fn, hoist: int):
+    """Build the hoisted StepFn shared by every mega-draw model path.
+
+    draw_fn(ctx, key) -> tuple of arrays with a leading (hoist,) axis
+    (the mega-draw: ``hoist`` batches' worth of samples in one shot;
+    must be state-independent so the hoist preserves the sampling law).
+    update_fn(state, x, alpha) -> (state, loss) applies ONE inner batch.
+    The returned step consumes the (hoist,)-vector alpha that
+    TrainDriver(micro_steps=hoist) supplies (per-inner-batch decay)."""
+
+    def step(state, ctx, key, alphas):
+        xs = draw_fn(ctx, key)
+        n = len(xs)
+        state, losses = jax.lax.scan(
+            lambda st, x: update_fn(st, x[:n], x[n]),
+            state, tuple(xs) + (alphas,),
+        )
+        return state, jnp.mean(losses)
+
+    return step
+
+
 def clamp_batch(n_rows: int, batch: int, group: int = 1) -> int:
     """Stability guard for collision="sum" batched updates.
 

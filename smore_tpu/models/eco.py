@@ -12,10 +12,15 @@ heads so every Choice kernel has a model-level consumer:
   head="dchoice"     the live branch (default)
   head="hop_choice"  UpdateHOPChoice(v1, v2) + UpdateHOPChoice(v1, v3,
                      alpha*0.5) with v2 = TargetSample(v1), v3 = two
-                     further hops (ECO.cpp:105-106), uniform negatives
+                     further hops (ECO.cpp:105-106); negatives from the
+                     global degree^0.75 table (NegativeSample,
+                     proNet.cpp:2161)
   head="recall_rank" UpdateRecallRank(v1): 5 rounds of softmax-choice
                      with pos = TargetSample(v1) (ECO.cpp:110;
-                     proNet.cpp:1887-2036)
+                     proNet.cpp:1887-2036); negatives FIELD-MATCHED to
+                     the positive context (the rejection loop at
+                     proNet.cpp:1924-1926, here an O(1) per-field alias
+                     draw)
 """
 
 from __future__ import annotations
@@ -54,16 +59,18 @@ class ECO(PairModelBase):
     def _make_ctx(self):
         g = self.graph
         src_t = FieldTables.build(g, weights=g.out_degree)
-        return (self.build_sampler(), src_t)
+        # per-field NEGATIVE tables (degree^0.75 within field): the O(1)
+        # equivalent of recall_rank's rejection loop (proNet.cpp:1924-26)
+        neg_t = FieldTables.build(g)
+        return (self.build_sampler(), src_t, neg_t)
 
     def _make_step(self, batch, negatives, collision):
         R = self.rounds
         reg = self.reg
         head = self.head
-        n = self.graph.n_vertices
 
         def step(state, ctx, key, alpha):
-            tables, src_t = ctx
+            tables, src_t, neg_t = ctx
             k1, k2, k3 = jax.random.split(key, 3)
             zeros = jnp.zeros((batch,), dtype=jnp.int32)
             v1 = src_t.negative_field_sample(k1, zeros)
@@ -71,13 +78,13 @@ class ECO(PairModelBase):
             if head == "hop_choice":
                 # ECO.cpp:102,105-106: v2 = TargetSample(v1), v3 = two
                 # further hops; full-weight update on (v1, v2), half on
-                # (v1, v3); HOPChoice draws UNIFORM negatives
-                # (proNet.cpp:2134-2219 live branch).
+                # (v1, v3); negatives from the global degree^0.75 table
+                # (NegativeSample, proNet.cpp:2161).
                 u = jax.random.uniform(k2, (batch, 3, 2))
                 v2 = tables.target_sample(None, v1, u2=u[:, 0])
                 v3 = tables.target_sample(None, v2, u2=u[:, 1])
                 v3 = tables.target_sample(None, v3, u2=u[:, 2])
-                negs = jax.random.randint(k3, (batch, 2, negatives), 0, n)
+                negs = tables.negative_sample(k3, (batch, 2, negatives))
                 w, l1 = choice_softmax_step(
                     state["vertex"], v1, v2, negs[:, 0], alpha, reg=reg,
                     collision=collision,
@@ -95,7 +102,14 @@ class ECO(PairModelBase):
                 vB = jnp.tile(v1, R)
                 u = jax.random.uniform(k2, (batch * R, 2))
                 pos = tables.target_sample(None, vB, u2=u)
-                negs = tables.negative_sample(k3, (batch * R, negatives))
+                # field-matched negatives (proNet.cpp:1924-1926): draw
+                # from the degree^0.75 law WITHIN the positive's field
+                fids = neg_t.field_of_v(pos)
+                negs = neg_t.negative_field_sample(
+                    k3,
+                    jnp.broadcast_to(fids[:, None],
+                                     (batch * R, negatives)),
+                )
                 w, loss = choice_softmax_step(
                     state["vertex"], vB, pos, negs, alpha, reg=reg,
                     collision=collision,

@@ -21,6 +21,7 @@ import numpy as np
 
 from smore_tpu.models.base import (
     clamp_batch,
+    hoisted_scan_step,
     PairModelBase,
     TrainDriver,
     init_embedding,
@@ -105,21 +106,17 @@ class HPE(PairModelBase):
             # state-independent; same law-preserving transform as LINE's
             # hoist). community_walk_pairs flattens per-sample blocks in
             # draw order, so the (hoist, batch*S) reshape is exact.
-            def step(state, tables, key, alphas):
+            def hdraw(tables, key):
                 src, pos, negs, cv, cc, cmask = draw(
                     tables, key, hoist * batch, hoist * shared_negatives
                 )
-                xs = (src.reshape(hoist, batch), pos.reshape(hoist, batch),
-                      negs.reshape(hoist, shared_negatives),
-                      cv.reshape(hoist, -1), cc.reshape(hoist, -1),
-                      cmask.reshape(hoist, -1))
-                state, losses = jax.lax.scan(
-                    lambda st, x: update(st, x[:6], x[6]),
-                    state, xs + (alphas,),
-                )
-                return state, jnp.mean(losses)
+                return (src.reshape(hoist, batch),
+                        pos.reshape(hoist, batch),
+                        negs.reshape(hoist, shared_negatives),
+                        cv.reshape(hoist, -1), cc.reshape(hoist, -1),
+                        cmask.reshape(hoist, -1))
 
-            return step
+            return hoisted_scan_step(hdraw, update, hoist)
 
         def step(state, tables, key, alpha):
             return update(state, draw(tables, key, batch,

@@ -29,6 +29,7 @@ from smore_tpu.models.base import (
     PairModelBase,
     TrainDriver,
     clamp_batch,
+    hoisted_scan_step,
     init_embedding,
     zeros_embedding,
 )
@@ -63,7 +64,10 @@ class LINE(PairModelBase):
                 "vertex": init_embedding(k1, n, dim),
                 "context": zeros_embedding(n, dim),
             }
-        self.build_sampler()
+        # sampler tables build lazily in train(): the banded large-table
+        # path needs only the negative law, so eager building here would
+        # pin the full sampler in HBM at exactly the scales where the
+        # banded path replaces it
 
     def _make_step(
         self,
@@ -97,35 +101,30 @@ class LINE(PairModelBase):
 
         if shared_negatives and hoist > 1:
             Ks = shared_negatives
+            kw = dict(
+                k_equiv=negatives, collision=collision,
+                src_group=group, use_pallas=use_pallas,
+            )
 
-            def step(state, tables, key, alphas):
-                src_a, pos_a, negs_a = tables.draw_edge_batches_hoisted(
-                    key, batch, group, Ks, hoist
-                )
-                kw = dict(
-                    k_equiv=negatives, collision=collision,
-                    src_group=group, use_pallas=use_pallas,
-                )
-
-                def body(st, x):
-                    src, pos, negs, a = x
-                    if order == 1:
-                        w, _, loss = sgns_shared_negs_step(
-                            st["vertex"], st["vertex"], src, pos, negs,
-                            a, shared_table=True, **kw,
-                        )
-                        return {"vertex": w}, loss
-                    wv, wc, loss = sgns_shared_negs_step(
-                        st["vertex"], st["context"], src, pos, negs, a, **kw,
+            def update(st, x, a):
+                src, pos, negs = x
+                if order == 1:
+                    w, _, loss = sgns_shared_negs_step(
+                        st["vertex"], st["vertex"], src, pos, negs,
+                        a, shared_table=True, **kw,
                     )
-                    return {"vertex": wv, "context": wc}, loss
-
-                state, losses = jax.lax.scan(
-                    body, state, (src_a, pos_a, negs_a, alphas)
+                    return {"vertex": w}, loss
+                wv, wc, loss = sgns_shared_negs_step(
+                    st["vertex"], st["context"], src, pos, negs, a, **kw,
                 )
-                return state, jnp.mean(losses)
+                return {"vertex": wv, "context": wc}, loss
 
-            return step
+            return hoisted_scan_step(
+                lambda tables, key: tables.draw_edge_batches_hoisted(
+                    key, batch, group, Ks, hoist
+                ),
+                update, hoist,
+            )
 
         if shared_negatives:
             Ks = shared_negatives
@@ -175,7 +174,7 @@ class LINE(PairModelBase):
         return step
 
     def _make_banded_step(self, batch, negatives, shared_negatives, group,
-                          hoist=1):
+                          hoist=1, pallas_scatter=False):
         order = self.order
         Ks = shared_negatives
         band_size = self.banded_tables.band_size
@@ -184,7 +183,8 @@ class LINE(PairModelBase):
 
         def inner(state, x, alpha):
             sb, db, src, pos, negs = x
-            kw = dict(k_equiv=negatives, src_group=group)
+            kw = dict(k_equiv=negatives, src_group=group,
+                      pallas_scatter=pallas_scatter)
             if order == 1:
                 w, _, loss = sgns_shared_negs_step_banded(
                     state["vertex"], state["vertex"], db, band_size,
@@ -199,20 +199,12 @@ class LINE(PairModelBase):
             return {"vertex": wv, "context": wc}, loss
 
         if hoist > 1:
-            # mega-draw for ``hoist`` batches, then an inner scan --
-            # identical law (draws are state-independent); ``alpha``
-            # arrives as a (hoist,) vector from TrainDriver(micro_steps)
-            def step(state, bt, key, alphas):
-                xs = bt.draw_banded_batches_hoisted(
+            return hoisted_scan_step(
+                lambda bt, key: bt.draw_banded_batches_hoisted(
                     key, batch, group, Ks, hoist
-                )
-                state, losses = jax.lax.scan(
-                    lambda st, x: inner(st, x[:-1], x[-1]),
-                    state, xs + (alphas,),
-                )
-                return state, jnp.mean(losses)
-
-            return step
+                ),
+                inner, hoist,
+            )
 
         def step(state, bt, key, alpha):
             x = bt.draw_banded_batch(key, batch, group, Ks)
@@ -234,9 +226,11 @@ class LINE(PairModelBase):
         # the reference's exact per-sample source law -- it matches the
         # reference's convergence at EVERY budget, not just saturation,
         # PERF_NOTES.md), 8 everywhere else
-        use_pallas: bool = False,  # fused grads kernel; wins only in the
-        # UNgrouped config (18.7 vs 18.0 M samples/s) -- in grouped mode
-        # XLA's own overlap of draws and grads is faster (PERF_NOTES.md)
+        use_pallas: bool = False,  # unbanded path: fused grads kernel
+        # (wins only ungrouped, 18.7 vs 18.0 M samples/s -- in grouped
+        # mode XLA's own overlap of draws and grads is faster,
+        # PERF_NOTES.md). Banded path: routes the two in-band scatters
+        # through the serial in-VMEM Pallas kernel (ops/pallas_scatter)
         hoist: int = 0,  # 0 = auto: mega-draw for N batches at a time
         # (identical law -- draws are state-independent). 32 on the
         # grouped shared-negatives path (1.46x, _make_step) for
@@ -270,6 +264,15 @@ class LINE(PairModelBase):
         batch = clamp_batch(self.graph.n_vertices, batch, group=group)
         if shared_negatives:
             shared_negatives = min(shared_negatives, batch)
+        if (
+            hoist != 1
+            and not use_banded
+            and not self.build_sampler().has_edge_table
+        ):
+            # the hoisted step REQUIRES the joint edge table; on
+            # degenerate tables (>=2^24 edges/vertices) fall back to the
+            # per-step path, which has its own two-stage fallback
+            hoist = 1
         if hoist == 0:
             if use_banded and shared_negatives:
                 hoist = 8  # saturation point at Youtube scale
@@ -307,7 +310,8 @@ class LINE(PairModelBase):
             }
             driver = TrainDriver(
                 self._make_banded_step(batch, negative_samples,
-                                       shared_negatives, group, hoist),
+                                       shared_negatives, group, hoist,
+                                       pallas_scatter=use_pallas),
                 ctx=bt,
                 samples_per_step=batch * hoist,
                 alpha=alpha,

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from smore_tpu.models.base import (
     clamp_batch,
+    hoisted_scan_step,
     PairModelBase,
     TrainDriver,
     init_embedding,
@@ -58,23 +59,18 @@ class _SharedTableRec(PairModelBase):
         if hoist > 1:
             # mega-draw for ``hoist`` batches then an inner scan --
             # identical law (iid draws, state-independent; the same
-            # transform as LINE's hoist, models/line.py). ``alpha``
-            # arrives as a (hoist,) vector (TrainDriver micro_steps).
-            def step(state, tables, key, alphas):
+            # transform as LINE's hoist, models/line.py)
+            def hdraw(tables, key):
                 src, pos, negs = draw(tables, key, hoist * batch)
-                xs = (src.reshape(hoist, batch), pos.reshape(hoist, batch),
-                      negs.reshape(hoist, batch, R), alphas)
+                return (src.reshape(hoist, batch),
+                        pos.reshape(hoist, batch),
+                        negs.reshape(hoist, batch, R))
 
-                def body(st, x):
-                    src_i, pos_i, negs_i, a = x
-                    w, loss = self._kernel(st, src_i, pos_i, negs_i, a,
-                                           collision)
-                    return {"vertex": w}, loss
+            def update(st, x, a):
+                w, loss = self._kernel(st, x[0], x[1], x[2], a, collision)
+                return {"vertex": w}, loss
 
-                state, losses = jax.lax.scan(body, state, xs)
-                return state, jnp.mean(losses)
-
-            return step
+            return hoisted_scan_step(hdraw, update, hoist)
 
         def step(state, tables, key, alpha):
             src, pos, negs = draw(tables, key, batch)

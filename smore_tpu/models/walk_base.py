@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from smore_tpu.models.base import (
     PairModelBase,
     TrainDriver,
+    hoisted_scan_step,
     init_embedding,
     zeros_embedding,
 )
@@ -79,20 +80,16 @@ class WalkSGNSBase(PairModelBase):
             # mega-draw as LINE's hoist, models/line.py); the mapper's
             # flat pair arrays are per-walk blocks in start order, so the
             # (hoist, batch*pairs_per_walk) reshape is exact.
-            def step(state, ctx, key, alphas):
+            def hdraw(ctx, key):
                 src, pos, mask, negs = draw(
                     ctx, key, hoist * batch_walks,
                     hoist * shared_negatives,
                 )
-                xs = (src.reshape(hoist, -1), pos.reshape(hoist, -1),
-                      mask.reshape(hoist, -1),
-                      negs.reshape(hoist, shared_negatives), alphas)
-                state, losses = jax.lax.scan(
-                    lambda st, x: update(st, x[:4], x[4]), state, xs
-                )
-                return state, jnp.mean(losses)
+                return (src.reshape(hoist, -1), pos.reshape(hoist, -1),
+                        mask.reshape(hoist, -1),
+                        negs.reshape(hoist, shared_negatives))
 
-            return step
+            return hoisted_scan_step(hdraw, update, hoist)
 
         def step(state, ctx, key, alpha):
             x = draw(ctx, key, batch_walks, shared_negatives)

@@ -197,7 +197,10 @@ class BandedTables:
         ctx_pa[:, 2] = bdst[ca]
 
         if base is None:
-            neg_pa = SamplerTables.build(g).neg_pa
+            # only the negative law is needed -- don't build (or keep)
+            # the full sampler's HBM tables at exactly the scales where
+            # banding engages
+            neg_pa = SamplerTables.build_negative_table(g)
         else:
             neg_pa = base.neg_pa
         return BandedTables(

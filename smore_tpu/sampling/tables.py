@@ -131,6 +131,22 @@ class SamplerTables:
 
     # ------------------------------------------------------------------ #
     @staticmethod
+    def build_negative_table(
+        g: Graph, negative_method: str = "degrees", power: float = 0.75
+    ) -> jnp.ndarray:
+        """Just the (N, 2) [prob, alias] negative alias table -- for
+        consumers (e.g. BandedTables) that need ONLY the negative law
+        and shouldn't pay HBM for the full sampler."""
+        np_, na = build_alias(
+            _negative_distribution(g, negative_method), power=power
+        )
+        idx = np.arange(g.n_vertices, dtype=np.int64)
+        na_safe = np.where(na < 0, idx, na)
+        return jnp.asarray(
+            np.stack([np_, na_safe], axis=1).astype(np.float32)
+        )
+
+    @staticmethod
     def build(
         g: Graph,
         vertex_method: str = "out_degrees",
