@@ -191,3 +191,44 @@ def test_textgcndev_trains_and_saves(tmp_path_factory, tmp_path):
     n_kept = sum(1 for nm in g.names if not nm.startswith("e"))
     assert lines[0] == f"{n_kept} 8"
     assert len(lines) == 1 + n_kept
+
+
+def test_eco_recall_rank_negatives_are_field_matched(field_graph):
+    """The recall_rank head's negatives must share the positive's field
+    (reference rejection loop proNet.cpp:1924-1926): probe the step's
+    drawn negatives via the neg FieldTables it builds."""
+    import jax
+    import jax.numpy as jnp
+    from smore_tpu.sampling.fields import FieldTables
+
+    g = field_graph
+    neg_t = FieldTables.build(g)
+    # sample positives of each field and draw matched negatives
+    pos = jnp.asarray(
+        np.concatenate([np.arange(0, g.n_vertices, 2),
+                        np.arange(1, g.n_vertices, 2)]).astype(np.int32)
+    )
+    fids = neg_t.field_of_v(pos)
+    negs = neg_t.negative_field_sample(
+        jax.random.PRNGKey(0),
+        jnp.broadcast_to(fids[:, None], (len(pos), 16)),
+    )
+    nf = np.asarray(neg_t.field_of_v(negs.reshape(-1)))
+    pf = np.repeat(np.asarray(fids), 16)
+    assert (nf == pf).all()
+
+
+def test_eco_hop_choice_negative_law_is_degree_power(field_graph):
+    """hop_choice negatives follow degree^0.75 (NegativeSample,
+    proNet.cpp:2161) -- not uniform."""
+    import jax
+    from smore_tpu.sampling.tables import SamplerTables
+
+    g = field_graph
+    t = SamplerTables.build(g)
+    draws = np.asarray(
+        t.negative_sample(jax.random.PRNGKey(1), (120_000,))
+    )
+    emp = np.bincount(draws, minlength=g.n_vertices) / len(draws)
+    w = (g.out_degree + g.in_degree) ** 0.75
+    np.testing.assert_allclose(emp, w / w.sum(), atol=0.01)
