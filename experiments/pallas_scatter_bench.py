@@ -48,17 +48,21 @@ def timed(name, fn, band, idx, delta):
 
 def main():
     key = jax.random.PRNGKey(0)
-    band = jax.random.normal(key, (Nb, D), jnp.float32)
     idx = jax.random.randint(jax.random.fold_in(key, 1), (B,), 0, Nb,
                              jnp.int32)
     delta = jax.random.normal(jax.random.fold_in(key, 2), (B, D),
                               jnp.float32) * 1e-4
 
-    timed("xla_at_add", lambda b, i, d: b.at[i].add(d), band, idx, delta)
-    timed("xla_promise", lambda b, i, d: b.at[i].add(
-        d, mode="promise_in_bounds"), band, idx, delta)
-    timed("pallas_serial", lambda b, i, d: band_scatter_add(b, i, d),
-          band, idx, delta)
+    variants = [
+        ("xla_at_add", lambda b, i, d: b.at[i].add(d)),
+        ("xla_promise", lambda b, i, d: b.at[i].add(
+            d, mode="promise_in_bounds")),
+        ("pallas_serial", lambda b, i, d: band_scatter_add(b, i, d)),
+    ]
+    for name, fn in variants:
+        # fresh band per variant: the timed call DONATES it
+        band = jax.random.normal(key, (Nb, D), jnp.float32)
+        timed(name, fn, band, idx, delta)
 
 
 if __name__ == "__main__":

@@ -16,8 +16,6 @@ in XLA.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -34,18 +32,21 @@ def _kernel(idx_ref, band_ref, delta_ref, out_ref):
     i = pl.program_id(0)
     tb = delta_ref.shape[0]
     base = i * tb
+    U = 8  # manual unroll: Mosaic's fori_loop supports only unroll=1
+    # or full unroll, so the body performs U serial RMWs per iteration
 
     def body(j, _):
-        r = idx_ref[base + j]
-        out_ref[pl.ds(r, 1), :] = (
-            out_ref[pl.ds(r, 1), :] + delta_ref[pl.ds(j, 1), :]
-        )
+        j0 = base + j * U
+        for k in range(U):
+            r = idx_ref[j0 + k]
+            out_ref[pl.ds(r, 1), :] = (
+                out_ref[pl.ds(r, 1), :] + delta_ref[pl.ds(j * U + k, 1), :]
+            )
         return 0
 
-    jax.lax.fori_loop(0, tb, body, 0, unroll=8)
+    jax.lax.fori_loop(0, tb // U, body, 0, unroll=1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def band_scatter_add(
     band: jnp.ndarray,  # (Nb, D) float32 -- the VMEM-resident band
     idx: jnp.ndarray,  # (B,) int32 LOCAL row ids in [0, Nb)
@@ -59,6 +60,7 @@ def band_scatter_add(
     B, D = delta.shape
     TB = min(2048, B)
     assert B % TB == 0, f"batch {B} not a multiple of tile {TB}"
+    assert TB % 8 == 0, f"tile {TB} not a multiple of the unroll factor 8"
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
