@@ -226,11 +226,14 @@ class LINE(PairModelBase):
         # the reference's exact per-sample source law -- it matches the
         # reference's convergence at EVERY budget, not just saturation,
         # PERF_NOTES.md), 8 everywhere else
-        use_pallas: bool = False,  # unbanded path: fused grads kernel
+        use_pallas: object = "auto",  # unbanded path: fused grads kernel
         # (wins only ungrouped, 18.7 vs 18.0 M samples/s -- in grouped
         # mode XLA's own overlap of draws and grads is faster,
-        # PERF_NOTES.md). Banded path: routes the two in-band scatters
-        # through the serial in-VMEM Pallas kernel (ops/pallas_scatter)
+        # PERF_NOTES.md; "auto" = off there). Banded path: routes the
+        # two in-band scatters through the serial in-VMEM Pallas kernel
+        # (ops/pallas_scatter, 5.7 vs 10 ns/row); "auto" = ON on the
+        # TPU backend when the scatter batches tile (1.304 vs 1.99
+        # ms/step at Youtube scale, experiments/banded_hoist.py)
         hoist: int = 0,  # 0 = auto: mega-draw for N batches at a time
         # (identical law -- draws are state-independent). 32 on the
         # grouped shared-negatives path (1.46x, _make_step) for
@@ -294,6 +297,21 @@ class LINE(PairModelBase):
                 BandedTables,
             )
 
+            # "auto": the serial in-VMEM scatter kernel beats XLA's
+            # scatter engine 5.7 vs 10 ns/row on TPU (1.304 vs 1.99
+            # ms/step end-to-end at Youtube scale); tile constraint =
+            # kernel's (B multiple of 2048, or <2048 and multiple of 8)
+            # for both scatter batches (pos: batch rows, src: batch/G).
+            def _tiles(b):
+                return b % 2048 == 0 or (b < 2048 and b % 8 == 0)
+
+            pallas_scat = use_pallas is True or (
+                use_pallas == "auto"
+                and jax.default_backend() == "tpu"
+                and _tiles(batch)
+                and _tiles(batch // group)
+            )
+
             band_size = band_size or DEFAULT_BAND_SIZE
             two_d = self.order == 2
             bt = getattr(self, "banded_tables", None)
@@ -311,7 +329,7 @@ class LINE(PairModelBase):
             driver = TrainDriver(
                 self._make_banded_step(batch, negative_samples,
                                        shared_negatives, group, hoist,
-                                       pallas_scatter=use_pallas),
+                                       pallas_scatter=pallas_scat),
                 ctx=bt,
                 samples_per_step=batch * hoist,
                 alpha=alpha,
@@ -326,7 +344,8 @@ class LINE(PairModelBase):
 
         driver = TrainDriver(
             self._make_step(batch, negative_samples, collision,
-                            shared_negatives, group, use_pallas, hoist),
+                            shared_negatives, group,
+                            use_pallas is True, hoist),
             ctx=self.build_sampler(),
             samples_per_step=batch * hoist,
             alpha=alpha,
