@@ -394,7 +394,8 @@ def _han(argv):
         m.add_meta_path(mp.split(","))
     m.init(dim=a.dimensions, learning_rate=a.alpha)
     m.train(walk_times=a.walk_times, walk_steps=a.walk_steps,
-            epochs=a.epochs)
+            epochs=a.epochs, checkpoint=a.checkpoint,
+            checkpoint_every=a.checkpoint_every, resume=not a.no_resume)
     m.save_weights(a.save)
 
 
@@ -428,7 +429,8 @@ def _sne(argv):
                            negative_samples=a.negative_samples)
     m.init(dim=a.dimensions)
     m.train(epochs=a.epochs, samples_per_edge=a.samples_per_edge,
-            alpha=a.alpha)
+            alpha=a.alpha, checkpoint=a.checkpoint,
+            checkpoint_every=a.checkpoint_every, resume=not a.no_resume)
     m.save_weights(a.save)
 
 
@@ -445,6 +447,12 @@ def _kg_model(name, cls_name, extra=None):
         p.add_argument("-margin", type=float, default=1.0)
         p.add_argument("-threads", type=int, default=1,
                        help="accepted for compatibility; TPU path ignores it")
+        p.add_argument("-checkpoint", default=None,
+                       help="orbax checkpoint dir: save tables + PRNG "
+                            "chain every -checkpoint_every epochs and "
+                            "resume from it if present")
+        p.add_argument("-checkpoint_every", type=int, default=1)
+        p.add_argument("-no_resume", action="store_true")
         for flag, typ, dv in (extra or []):
             p.add_argument(flag, type=typ, default=dv)
         a = p.parse_args(argv)
@@ -458,7 +466,10 @@ def _kg_model(name, cls_name, extra=None):
             kw["adversarial_temp"] = a.adversarial_temp
         m = cls.load_triples(a.train, **kw)
         m.init(dim=a.dimensions)
-        m.train(epochs=a.epochs, batch=a.batch_size, alpha=a.alpha)
+        m.train(epochs=a.epochs, batch=a.batch_size, alpha=a.alpha,
+                checkpoint=a.checkpoint,
+                checkpoint_every=a.checkpoint_every,
+                resume=not a.no_resume)
         m.save_embeddings(a.save_entity, a.save_relation)
 
     return run
@@ -483,12 +494,17 @@ def _jodie(argv):
     p.add_argument("-batch-size", type=int, default=128, dest="batch_size",
                    help="accepted for parity; the Go reference prints it "
                         "and trains chronologically (jodie.go:214-224)")
+    p.add_argument("-checkpoint", default=None)
+    p.add_argument("-checkpoint_every", type=int, default=1)
+    p.add_argument("-no_resume", action="store_true")
     a = p.parse_args(argv)
     from smore_tpu.models import JODIE
 
     m = JODIE.load_interactions(a.train)
     m.init(dim=a.dimensions)
-    m.train(epochs=a.epochs, learning_rate=a.alpha)
+    m.train(epochs=a.epochs, learning_rate=a.alpha,
+            checkpoint=a.checkpoint, checkpoint_every=a.checkpoint_every,
+            resume=not a.no_resume)
     print(f"\tpairwise accuracy: {m.evaluate_predictions():.4f}")
     m.save_weights(a.save_user, a.save_item)
 
@@ -519,6 +535,12 @@ def _seq_model(name, cls_name, extra=None):
                        help="1 = train ONLY the item embeddings (the "
                             "reference's semantics, sasrec.go:553-593); "
                             "0 = full autodiff (default)")
+        p.add_argument("-checkpoint", default=None,
+                       help="orbax checkpoint dir: save params + adam "
+                            "state + PRNG chain every -checkpoint_every "
+                            "epochs and resume from it if present")
+        p.add_argument("-checkpoint_every", type=int, default=1)
+        p.add_argument("-no_resume", action="store_true")
         for flag, typ, dv in (extra or []):
             p.add_argument(flag, type=typ, default=dv)
         a = p.parse_args(argv)
@@ -537,7 +559,9 @@ def _seq_model(name, cls_name, extra=None):
                dropout=a.dropout)
         m.train(epochs=a.epochs, batch_size=a.batch_size, alpha=a.alpha,
                 holdout=bool(a.eval_holdout),
-                forward_only=bool(a.forward_only))
+                forward_only=bool(a.forward_only),
+                checkpoint=a.checkpoint, checkpoint_every=a.checkpoint_every,
+                resume=not a.no_resume)
         if a.eval_holdout:
             r = m.evaluate_ranking(ks=(10,))
             print(f"\trecall@10: {r['recall@10']:.4f}  "
@@ -577,6 +601,9 @@ def _cpr(argv):
     p.add_argument("-undirected", type=int, default=1)
     p.add_argument("-threads", type=int, default=1,
                    help="accepted for compatibility; TPU path ignores it")
+    p.add_argument("-checkpoint", default=None)
+    p.add_argument("-checkpoint_every", type=int, default=1)
+    p.add_argument("-no_resume", action="store_true")
     a = p.parse_args(argv)
     from smore_tpu.models import CPR
 
@@ -584,7 +611,9 @@ def _cpr(argv):
                          undirected=bool(a.undirected),
                          user_reg=a.user_reg, item_reg=a.item_reg)
     m.init(dim=a.dimensions)
-    m.train(update_times=a.update_times, alpha=a.alpha)
+    m.train(update_times=a.update_times, alpha=a.alpha,
+            checkpoint=a.checkpoint, checkpoint_every=a.checkpoint_every,
+            resume=not a.no_resume)
     m.save_weights(a.save_user, a.save_target, a.save_source)
 
 
@@ -605,13 +634,18 @@ def _tpr(argv):
     p.add_argument("-undirected", type=int, default=1)
     p.add_argument("-threads", type=int, default=1,
                    help="accepted for compatibility; TPU path ignores it")
+    p.add_argument("-checkpoint", default=None)
+    p.add_argument("-checkpoint_every", type=int, default=1)
+    p.add_argument("-no_resume", action="store_true")
     a = p.parse_args(argv)
     from smore_tpu.models import TPR
 
     m = TPR.load_graphs(a.train_ui, a.train_iw, text_weight=a.text_weight,
                         undirected=bool(a.undirected), lam=a.lam)
     m.init(dim=a.dimensions)
-    m.train(sample_times=a.sample_times, alpha=a.alpha)
+    m.train(sample_times=a.sample_times, alpha=a.alpha,
+            checkpoint=a.checkpoint, checkpoint_every=a.checkpoint_every,
+            resume=not a.no_resume)
     m.save_weights(a.save_user, a.save_item, a.save_word)
 
 

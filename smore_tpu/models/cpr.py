@@ -131,7 +131,9 @@ class CPR:
 
     def train(self, update_times: int = 10, alpha: float = 0.025,
               batch: int = 4096, steps_per_call: int = 64,
-              collision: str = "sum", verbose: bool = True) -> None:
+              collision: str = "sum", verbose: bool = True,
+              checkpoint: str = None, checkpoint_every: int = 1,
+              resume: bool = True) -> None:
         batch = clamp_batch(
             min(self.target.n_vertices, self.source.n_vertices), batch
         )
@@ -142,6 +144,9 @@ class CPR:
             alpha=alpha,
             total_samples=int(update_times * 1_000_000),
             steps_per_call=steps_per_call,
+            checkpoint_path=checkpoint,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
         )
         self.state = driver.train(
             self.state, jax.random.PRNGKey(self.seed), verbose=verbose
@@ -254,7 +259,9 @@ class TPR:
 
     def train(self, sample_times: int = 10, alpha: float = 0.025,
               batch: int = 4096, steps_per_call: int = 64,
-              collision: str = "sum", verbose: bool = True) -> None:
+              collision: str = "sum", verbose: bool = True,
+              checkpoint: str = None, checkpoint_every: int = 1,
+              resume: bool = True) -> None:
         batch = clamp_batch(
             min(self.ui.n_vertices, self.iw.n_vertices), batch
         )
@@ -265,6 +272,9 @@ class TPR:
             alpha=alpha,
             total_samples=int(sample_times * 1_000_000),
             steps_per_call=steps_per_call,
+            checkpoint_path=checkpoint,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
         )
         self.state = driver.train(
             self.state, jax.random.PRNGKey(self.seed), verbose=verbose

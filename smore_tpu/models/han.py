@@ -133,7 +133,8 @@ class HAN:
 
     def train(self, walk_times: int = 5, walk_steps: int = 4,
               epochs: int = 5, batch: int = 512,
-              verbose: bool = True) -> None:
+              verbose: bool = True, checkpoint: str = None,
+              checkpoint_every: int = 1, resume: bool = True) -> None:
         if not self.meta_paths:
             raise ValueError("no meta-paths defined")
         step = self._make_step(batch, walk_times, walk_steps)
@@ -142,12 +143,34 @@ class HAN:
         n = self.hg.n_vertices
         steps_per_epoch = max(1, n // batch + 1)
         state = self.state
-        for ep in range(epochs):
+        start_ep = 0
+        if checkpoint:
+            from smore_tpu.utils.checkpoint import (
+                checkpoint_exists, load_checkpoint, save_checkpoint)
+
+            if resume and checkpoint_exists(checkpoint):
+                loaded, done_ep, extra = load_checkpoint(checkpoint)
+                state = jax.tree.map(jnp.asarray, loaded)
+                if extra and "key" in extra:
+                    key = jnp.asarray(
+                        np.asarray(extra["key"]).astype(np.uint32))
+                start_ep = min(int(done_ep), epochs)
+        for ep in range(start_ep, epochs):
             for _ in range(steps_per_epoch):
                 key, ks = jax.random.split(key)
                 state, _ = step(state, ctx, ks)
             if verbose:
                 print(f"\tepoch {ep + 1}/{epochs}", end="\r", flush=True)
+            if checkpoint and (
+                (ep + 1 - start_ep) % max(1, checkpoint_every) == 0
+                or ep + 1 == epochs
+            ):
+                save_checkpoint(
+                    checkpoint,
+                    jax.device_get(state),
+                    step=ep + 1,
+                    extra={"key": np.asarray(key)},
+                )
         if verbose:
             print()
         self.state = state

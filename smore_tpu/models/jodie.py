@@ -148,13 +148,35 @@ class JODIE:
         return jax.jit(epoch)
 
     def train(self, epochs: int = 5, learning_rate: float = 0.01,
-              bce_lr: float = None, verbose: bool = True) -> None:
+              bce_lr: float = None, verbose: bool = True,
+              checkpoint: str = None, checkpoint_every: int = 1,
+              resume: bool = True) -> None:
+        """checkpoint: orbax dir — static tables + RNN params + the final
+        dynamic tables + PRNG chain, saved every ``checkpoint_every``
+        epochs; resume continues the exact trajectory (each epoch resets
+        dynamics to the statics, jodie.go:230-296, so epoch granularity
+        is the natural unit)."""
         if bce_lr is None:
             bce_lr = learning_rate
         epoch_fn = self._epoch_fn()
         key = jax.random.PRNGKey(self.seed + 1)
         state = self.state
-        for ep in range(epochs):
+        ue = ie = None
+        start_ep = 0
+        if checkpoint:
+            from smore_tpu.utils.checkpoint import (
+                checkpoint_exists, load_checkpoint, save_checkpoint)
+
+            if resume and checkpoint_exists(checkpoint):
+                loaded, done_ep, extra = load_checkpoint(checkpoint)
+                state = jax.tree.map(jnp.asarray, loaded["s"])
+                ue = jnp.asarray(loaded["ue"])
+                ie = jnp.asarray(loaded["ie"])
+                if extra and "key" in extra:
+                    key = jnp.asarray(
+                        np.asarray(extra["key"]).astype(np.uint32))
+                start_ep = min(int(done_ep), epochs)
+        for ep in range(start_ep, epochs):
             key, ke = jax.random.split(key)
             ue, ie, us, is_, loss = epoch_fn(
                 state, ke, jnp.float32(learning_rate), jnp.float32(bce_lr)
@@ -165,10 +187,21 @@ class JODIE:
             if verbose:
                 print(f"\tepoch {ep + 1}/{epochs} BCE={float(loss):.4f}",
                       end="\r", flush=True)
+            if checkpoint and (
+                (ep + 1 - start_ep) % max(1, checkpoint_every) == 0
+                or ep + 1 == epochs
+            ):
+                save_checkpoint(
+                    checkpoint,
+                    jax.device_get({"s": state, "ue": ue, "ie": ie}),
+                    step=ep + 1,
+                    extra={"key": np.asarray(key)},
+                )
         if verbose:
             print()
         self.state = state
-        self.user_dyn, self.item_dyn = ue, ie
+        if ue is not None:
+            self.user_dyn, self.item_dyn = ue, ie
 
     def project(self, user_emb: jnp.ndarray, dt: float) -> jnp.ndarray:
         """projectEmbedding (jodie.go:108-119)."""

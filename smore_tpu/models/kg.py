@@ -175,7 +175,14 @@ class _KGBase:
         batch: int = 1024,
         alpha: float = 0.01,
         verbose: bool = True,
+        checkpoint: str = None,
+        checkpoint_every: int = 1,
+        resume: bool = True,
     ) -> None:
+        """checkpoint: orbax dir — entity/relation tables + PRNG chain
+        saved every ``checkpoint_every`` epochs; with ``resume`` a
+        restart continues the exact uninterrupted trajectory (the lr
+        schedule is a pure function of the restored epoch counter)."""
         kg = self.kg
         n = kg.n_triples
         batch = clamp_batch(min(n, kg.n_entities), batch)
@@ -187,7 +194,20 @@ class _KGBase:
         alpha_min = alpha * 1e-4
         total = epochs * n_batches
         done = 0
-        for ep in range(epochs):
+        start_ep = 0
+        if checkpoint:
+            from smore_tpu.utils.checkpoint import (
+                checkpoint_exists, load_checkpoint, save_checkpoint)
+
+            if resume and checkpoint_exists(checkpoint):
+                loaded, done_ep, extra = load_checkpoint(checkpoint)
+                state = jax.tree.map(jnp.asarray, loaded)
+                if extra and "key" in extra:
+                    key = jnp.asarray(
+                        np.asarray(extra["key"]).astype(np.uint32))
+                start_ep = min(int(done_ep), epochs)
+                done = start_ep * n_batches
+        for ep in range(start_ep, epochs):
             key, kp = jax.random.split(key)
             perm = jax.random.permutation(kp, n)[: n_batches * batch]
             perm = perm.reshape(n_batches, batch)
@@ -202,6 +222,16 @@ class _KGBase:
                     f"\tepoch {ep + 1}/{epochs} loss={float(loss):.5f}",
                     end="\r",
                     flush=True,
+                )
+            if checkpoint and (
+                (ep + 1 - start_ep) % max(1, checkpoint_every) == 0
+                or ep + 1 == epochs
+            ):
+                save_checkpoint(
+                    checkpoint,
+                    jax.device_get(state),
+                    step=ep + 1,
+                    extra={"key": np.asarray(key)},
                 )
         if verbose:
             print()

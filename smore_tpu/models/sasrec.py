@@ -254,7 +254,9 @@ class SASRec:
 
     def train(self, epochs: int = 10, batch_size: int = 128,
               alpha: float = 0.001, verbose: bool = True,
-              holdout: bool = False, forward_only: bool = False) -> None:
+              holdout: bool = False, forward_only: bool = False,
+              checkpoint: Optional[str] = None, checkpoint_every: int = 1,
+              resume: bool = True) -> None:
         """holdout=True withholds each sequence's LAST item from training
         (standard leave-one-out next-item protocol); evaluate with
         evaluate_ranking() afterwards.
@@ -263,7 +265,13 @@ class SASRec:
         exactly: the transformer (attention/FFN/LN/positions) is used in
         the forward pass but NEVER receives gradients -- only the item
         embedding table trains (sasrec.go:553-593 updates itemEmbed rows
-        alone). Default False = full autodiff, the documented upgrade."""
+        alone). Default False = full autodiff, the documented upgrade.
+
+        checkpoint: orbax checkpoint dir — the FULL train state (flax
+        params, optax adam state, PRNG chain) is saved every
+        ``checkpoint_every`` epochs (and at the end); with ``resume`` a
+        restart continues the exact uninterrupted trajectory (the
+        reference has no mid-train persistence at all, SURVEY.md 5.4)."""
         seqs = self.build_sequences()
         if holdout:
             self._holdout_seqs = seqs
@@ -291,10 +299,35 @@ class SASRec:
             return optax.apply_updates(params, updates), opt_state, loss
 
         key = jax.random.PRNGKey(self.seed + 7)
+        start_ep = 0
+        if checkpoint:
+            # Optax states are NamedTuple pytrees orbax won't round-trip
+            # structurally; store the flat leaves and unflatten against a
+            # freshly built treedef (tx.init of the current params).
+            from smore_tpu.utils.checkpoint import (
+                checkpoint_exists, load_checkpoint, save_checkpoint)
+
+            treedef = jax.tree.structure((params, opt_state, key))
+            if resume and checkpoint_exists(checkpoint):
+                flat, done_ep, _ = load_checkpoint(checkpoint)
+                leaves = [jnp.asarray(flat[f"{i:04d}"])
+                          for i in range(len(flat))]
+                params, opt_state, key = jax.tree.unflatten(treedef, leaves)
+                start_ep = min(int(done_ep), epochs)
+
+            def _save(ep_done):
+                leaves = jax.device_get(
+                    jax.tree.leaves((params, opt_state, key)))
+                save_checkpoint(
+                    checkpoint,
+                    {f"{i:04d}": l for i, l in enumerate(leaves)},
+                    step=ep_done,
+                )
+
         bs = min(batch_size, n_seq)
         n_batches = max(1, n_seq // bs)
         seqs_d = jnp.asarray(seqs)
-        for ep in range(epochs):
+        for ep in range(start_ep, epochs):
             key, kp = jax.random.split(key)
             perm = jax.random.permutation(kp, n_seq)[: n_batches * bs]
             perm = perm.reshape(n_batches, bs)
@@ -305,6 +338,9 @@ class SASRec:
             if verbose:
                 print(f"\tepoch {ep + 1}/{epochs} loss={float(loss):.5f}",
                       end="\r", flush=True)
+            if checkpoint and ((ep + 1 - start_ep) % max(1, checkpoint_every)
+                               == 0 or ep + 1 == epochs):
+                _save(ep + 1)
         if verbose:
             print()
         self.params = params

@@ -131,6 +131,9 @@ class SNE:
         steps_per_call: int = 32,
         collision: str = "sum",
         verbose: bool = True,
+        checkpoint: str = None,
+        checkpoint_every: int = 1,
+        resume: bool = True,
     ) -> None:
         total = (
             epochs
@@ -145,6 +148,9 @@ class SNE:
             alpha=alpha,
             total_samples=max(total, 1),
             steps_per_call=steps_per_call,
+            checkpoint_path=checkpoint,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
         )
         self.state = driver.train(
             self.state, jax.random.PRNGKey(self.seed), verbose=verbose
