@@ -88,11 +88,12 @@ def ensure_binary(model: str) -> str:
     return path
 
 
-NEEDS_FIELD = {"hoprec", "nemf", "nerank", "gcn"}
+NEEDS_FIELD = {"hoprec", "nemf", "nerank", "gcn", "eco", "textgcn"}
 EXTRA_REF_FLAGS = {
     "hoprec": ["-walk_steps", "2"],
     "nemf": ["-walk_steps", "2"],
     "nerank": ["-walk_steps", "2"],
+    "textgcn": ["-walk_steps", "2"],
 }
 
 
@@ -114,14 +115,15 @@ def run_ours(model: str):
     from smore_tpu.graph.graph import Graph
 
     cls = {"hoprec": M.HOPREC, "skewopt": M.SkewOPT, "hpe": M.HPE,
-           "nemf": M.NEMF, "nerank": M.NERANK, "gcn": M.GCN}[model]
+           "nemf": M.NEMF, "nerank": M.NERANK, "gcn": M.GCN,
+           "eco": M.ECO, "textgcn": M.TEXTGCN}[model]
     g = Graph.load_edge_list(TRAIN, undirected=True)
     m = cls(g, seed=0)
     if model in NEEDS_FIELD:
         m.graph.load_field_meta(FIELD)
     m.init(dim=DIM)
     kw = {}
-    if model in ("hoprec", "nemf", "nerank"):
+    if model in ("hoprec", "nemf", "nerank", "textgcn"):
         kw["walk_steps"] = 2
     m.train(sample_times=1, verbose=False, **kw)  # warm/compile
     t0 = time.time()

@@ -377,7 +377,9 @@ def _m2v(argv):
     m.init(dim=a.dimensions)
     m.train(walk_times=a.walk_times, walk_steps=a.walk_steps,
             window_size=a.window_size,
-            negative_samples=a.negative_samples, alpha=a.alpha)
+            negative_samples=a.negative_samples, alpha=a.alpha,
+            checkpoint=a.checkpoint, checkpoint_every=a.checkpoint_every,
+            resume=not a.no_resume)
     m.save_weights(a.save)
 
 
@@ -410,7 +412,9 @@ def _ctdne(argv):
     m.init(dim=a.dimensions)
     m.train(walk_times=a.walk_times, walk_steps=a.walk_steps,
             window_size=a.window_size,
-            negative_samples=a.negative_samples, alpha=a.alpha)
+            negative_samples=a.negative_samples, alpha=a.alpha,
+            checkpoint=a.checkpoint, checkpoint_every=a.checkpoint_every,
+            resume=not a.no_resume)
     m.save_weights(a.save)
 
 

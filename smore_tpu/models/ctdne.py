@@ -106,6 +106,9 @@ class CTDNE:
         shared_negatives: int = 256,
         collision: str = "sum",
         verbose: bool = True,
+        checkpoint: str = None,
+        checkpoint_every: int = 1,
+        resume: bool = True,
     ) -> None:
         driver = TrainDriver(
             self._make_step(batch_walks, walk_steps, window_size,
@@ -115,6 +118,9 @@ class CTDNE:
             alpha=alpha,
             total_samples=walk_times * self.tg.n_vertices,
             steps_per_call=steps_per_call,
+            checkpoint_path=checkpoint,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
         )
         self.state = driver.train(
             self.state, jax.random.PRNGKey(self.seed), verbose=verbose

@@ -101,6 +101,9 @@ class Metapath2Vec:
         shared_negatives: int = 256,
         collision: str = "sum",
         verbose: bool = True,
+        checkpoint: str = None,
+        checkpoint_every: int = 1,
+        resume: bool = True,
     ) -> None:
         if not self.meta_paths:
             raise ValueError(
@@ -114,6 +117,9 @@ class Metapath2Vec:
             alpha=alpha,
             total_samples=walk_times * self.hg.n_vertices,
             steps_per_call=steps_per_call,
+            checkpoint_path=checkpoint,
+            checkpoint_every=checkpoint_every,
+            resume=resume,
         )
         self.state = driver.train(
             self.state, jax.random.PRNGKey(self.seed), verbose=verbose
