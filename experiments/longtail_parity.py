@@ -88,7 +88,55 @@ def ensure_binary(model: str) -> str:
     return path
 
 
-NEEDS_FIELD = {"hoprec", "nemf", "nerank", "gcn", "eco", "textgcn"}
+def ensure_fine_binary() -> str:
+    """FINE/msFINE ship with NO reference CLI (absent from
+    cli/Makefile:3); compile the minimal positional-arg driver
+    experiments/ref_fine_main.cpp against the reference's libproNet."""
+    ensure_build_tree()
+    path = os.path.join(REF_DIR, "cli", "ref_fine")
+    if not os.path.exists(path):
+        here = os.path.dirname(os.path.abspath(__file__))
+        subprocess.run(
+            ["g++", "-std=c++11", "-fopenmp", "-Ofast",
+             os.path.join(here, "ref_fine_main.cpp"),
+             # FINE/msFINE .o's are not in libproNet.a (src/Makefile
+             # archives only the CLI-built models) -- compile them in.
+             f"{REF_DIR}/src/model/FINE.cpp",
+             f"{REF_DIR}/src/model/msFINE.cpp",
+             "-o", path,
+             f"-I{REF_DIR}/src", f"-I{REF_DIR}/src/model",
+             f"-L{REF_DIR}/bin", "-lproNet", "-lm"],
+            check=True,
+        )
+    return path
+
+
+def load_wide_embeddings(path):
+    """Like bpr_parity.load_ref_embeddings but width-agnostic (FINE rows
+    concatenate the field-0 and field-1 projections -> 2*DIM columns;
+    the reference header still says DIM, FINE.cpp:17-27, so the width
+    must be inferred from the rows)."""
+    import numpy as np
+
+    from bpr_parity import N_ITEMS, N_USERS
+
+    with open(path) as f:
+        f.readline()
+        lines = f.readlines()
+    width = len(lines[0].split()) - 1
+    ue = np.zeros((N_USERS, width), dtype=np.float32)
+    ie = np.zeros((N_ITEMS, width), dtype=np.float32)
+    for line in lines:
+        p = line.split()
+        if p[0][0] == "u":
+            ue[int(p[0][1:])] = np.array(p[1:], dtype=np.float32)
+        else:
+            ie[int(p[0][1:])] = np.array(p[1:], dtype=np.float32)
+    return ue, ie
+
+
+NEEDS_FIELD = {"hoprec", "nemf", "nerank", "gcn", "eco", "textgcn",
+               "fine", "msfine", "textgcndev"}
 EXTRA_REF_FLAGS = {
     "hoprec": ["-walk_steps", "2"],
     "nemf": ["-walk_steps", "2"],
@@ -99,6 +147,13 @@ EXTRA_REF_FLAGS = {
 
 def run_reference(model: str):
     out = f"/tmp/{model}_ref_out.txt"
+    if model in ("fine", "msfine"):
+        cmd = [ensure_fine_binary(), model, TRAIN, FIELD, out,
+               str(SAMPLE_TIMES), "2", "5", "0.025",
+               str(os.cpu_count() or 1)]
+        subprocess.run(cmd, check=True, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
+        return load_wide_embeddings(out)
     cmd = [ensure_binary(model), "-train", TRAIN, "-save", out,
            "-dimensions", str(DIM), "-sample_times", str(SAMPLE_TIMES),
            "-alpha", "0.025", "-threads", str(os.cpu_count() or 1)]
@@ -116,15 +171,20 @@ def run_ours(model: str):
 
     cls = {"hoprec": M.HOPREC, "skewopt": M.SkewOPT, "hpe": M.HPE,
            "nemf": M.NEMF, "nerank": M.NERANK, "gcn": M.GCN,
-           "eco": M.ECO, "textgcn": M.TEXTGCN}[model]
+           "eco": M.ECO, "textgcn": M.TEXTGCN,
+           "fine": M.FINE, "msfine": M.MSFINE,
+           "textgcndev": M.TEXTGCNdev}[model]
     g = Graph.load_edge_list(TRAIN, undirected=True)
     m = cls(g, seed=0)
     if model in NEEDS_FIELD:
         m.graph.load_field_meta(FIELD)
     m.init(dim=DIM)
     kw = {}
-    if model in ("hoprec", "nemf", "nerank", "textgcn"):
+    if model in ("hoprec", "nemf", "nerank", "textgcn", "fine", "msfine"):
         kw["walk_steps"] = 2
+    if model == "textgcndev":
+        kw.update(num_events=1, num_words=5)  # reference CLI defaults
+        # (cli/textgcndev.cpp:54)
     m.train(sample_times=1, verbose=False, **kw)  # warm/compile
     t0 = time.time()
     m.train(sample_times=SAMPLE_TIMES, verbose=False, **kw)
@@ -138,6 +198,8 @@ def run_ours(model: str):
 
     with tempfile.NamedTemporaryFile(suffix=".txt", delete=False) as tf:
         m.save_weights(tf.name)
+        if model in ("fine", "msfine"):
+            return load_wide_embeddings(tf.name)
         return load_ref_embeddings(tf.name)
 
 
