@@ -77,11 +77,13 @@ def link_auc(emb_file, seed=3, n_pairs=20000):
         dst.append(name2row[b])
     pos = np.sum(emb[src] * emb[dst], axis=1)
     names = list(name2row.values())
-    ra = rng.choice(names, n_pairs)
-    rb = rng.choice(names, n_pairs)
+    # 1000 negatives scored against every positive (the full sampled set;
+    # previously 20k were drawn but only the first 1000 used)
+    ra = rng.choice(names, 1000)
+    rb = rng.choice(names, 1000)
     neg = np.sum(emb[ra] * emb[rb], axis=1)
-    return float((pos[:, None] > neg[None, :1000]).mean()
-                 + 0.5 * (pos[:, None] == neg[None, :1000]).mean())
+    return float((pos[:, None] > neg[None, :]).mean()
+                 + 0.5 * (pos[:, None] == neg[None, :]).mean())
 
 
 def run_reference(model: str) -> str:

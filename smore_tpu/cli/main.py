@@ -47,7 +47,8 @@ def _base_parser(name: str, walk: bool = False) -> argparse.ArgumentParser:
                    help="orbax checkpoint dir: save the full training "
                         "state periodically and resume from it if present")
     p.add_argument("-checkpoint_every", type=int, default=1,
-                   help="jit calls between checkpoint saves")
+                   help="checkpoint interval: jit calls for TrainDriver "
+                        "models; epochs for han/kg/seq/jodie")
     p.add_argument("-no_resume", action="store_true",
                    help="with -checkpoint: overwrite instead of resuming")
     if walk:

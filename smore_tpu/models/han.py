@@ -162,7 +162,7 @@ class HAN:
             if verbose:
                 print(f"\tepoch {ep + 1}/{epochs}", end="\r", flush=True)
             if checkpoint and (
-                (ep + 1 - start_ep) % max(1, checkpoint_every) == 0
+                (ep + 1) % max(1, checkpoint_every) == 0
                 or ep + 1 == epochs
             ):
                 save_checkpoint(

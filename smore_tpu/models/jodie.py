@@ -188,7 +188,7 @@ class JODIE:
                 print(f"\tepoch {ep + 1}/{epochs} BCE={float(loss):.4f}",
                       end="\r", flush=True)
             if checkpoint and (
-                (ep + 1 - start_ep) % max(1, checkpoint_every) == 0
+                (ep + 1) % max(1, checkpoint_every) == 0
                 or ep + 1 == epochs
             ):
                 save_checkpoint(

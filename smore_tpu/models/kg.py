@@ -181,8 +181,11 @@ class _KGBase:
     ) -> None:
         """checkpoint: orbax dir — entity/relation tables + PRNG chain
         saved every ``checkpoint_every`` epochs; with ``resume`` a
-        restart continues the exact uninterrupted trajectory (the lr
-        schedule is a pure function of the restored epoch counter)."""
+        same-``epochs`` restart continues the exact uninterrupted
+        trajectory (the lr schedule is a pure function of the restored
+        epoch counter and the run's total epochs). Resuming with a
+        DIFFERENT ``epochs`` re-stretches the linear lr decay over the
+        new total — a warning is printed when that happens."""
         kg = self.kg
         n = kg.n_triples
         batch = clamp_batch(min(n, kg.n_entities), batch)
@@ -207,6 +210,14 @@ class _KGBase:
                         np.asarray(extra["key"]).astype(np.uint32))
                 start_ep = min(int(done_ep), epochs)
                 done = start_ep * n_batches
+                if extra and int(extra.get("epochs", epochs)) != epochs:
+                    print(
+                        f"\twarning: resuming with -epochs {epochs} but "
+                        f"checkpoint was written by an -epochs "
+                        f"{int(extra['epochs'])} run; the linear lr decay "
+                        f"re-stretches over the new total",
+                        flush=True,
+                    )
         for ep in range(start_ep, epochs):
             key, kp = jax.random.split(key)
             perm = jax.random.permutation(kp, n)[: n_batches * batch]
@@ -224,14 +235,14 @@ class _KGBase:
                     flush=True,
                 )
             if checkpoint and (
-                (ep + 1 - start_ep) % max(1, checkpoint_every) == 0
+                (ep + 1) % max(1, checkpoint_every) == 0
                 or ep + 1 == epochs
             ):
                 save_checkpoint(
                     checkpoint,
                     jax.device_get(state),
                     step=ep + 1,
-                    extra={"key": np.asarray(key)},
+                    extra={"key": np.asarray(key), "epochs": epochs},
                 )
         if verbose:
             print()

@@ -338,7 +338,7 @@ class SASRec:
             if verbose:
                 print(f"\tepoch {ep + 1}/{epochs} loss={float(loss):.5f}",
                       end="\r", flush=True)
-            if checkpoint and ((ep + 1 - start_ep) % max(1, checkpoint_every)
+            if checkpoint and ((ep + 1) % max(1, checkpoint_every)
                                == 0 or ep + 1 == epochs):
                 _save(ep + 1)
         if verbose:
