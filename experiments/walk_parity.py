@@ -107,15 +107,16 @@ def run_ours(model: str) -> str:
     g = Graph.load_edge_list(TRAIN, undirected=True)
     out = f"/tmp/{model}_walkours_out.txt"
     t0 = time.time()
+    wt = int(BUDGET[model][1])  # same walk budget as the reference arm
     if model == "deepwalk":
         m = M.DeepWalk(g, seed=0)
         m.init(dim=DIM)
-        m.train(walk_times=10, walk_steps=40, window_size=5,
+        m.train(walk_times=wt, walk_steps=40, window_size=5,
                 negative_samples=5, verbose=False)
     elif model == "walklets":
         m = M.Walklets(g, seed=0)
         m.init(dim=DIM)
-        m.train(walk_times=10, walk_steps=40, window_min=2, window_max=5,
+        m.train(walk_times=wt, walk_steps=40, window_min=2, window_max=5,
                 negative_samples=5, verbose=False)
     else:
         m = M.APP(g, seed=0)
@@ -129,7 +130,16 @@ def run_ours(model: str) -> str:
 
 def main():
     make_graph(TRAIN, n=20_000, e=400_000, n_comm=50, seed=0)
-    models = sys.argv[1:] or ["deepwalk", "walklets", "app"]
+    args = sys.argv[1:]
+    if "trunc" in args:
+        # 1/5-budget sensitivity run (both sides at walk_times=2) -- the
+        # regime where the truncated-budget freshness policy
+        # (smore_tpu/models/base.py freshness_policy) must close the
+        # stale-snapshot gap vs the reference's per-sample writes
+        args = [a for a in args if a != "trunc"]
+        for m in ("deepwalk", "walklets"):
+            BUDGET[m][1] = "2"
+    models = args or ["deepwalk", "walklets", "app"]
     rows = []
     for model in models:
         ours = link_auc(run_ours(model))

@@ -66,6 +66,43 @@ def hoisted_scan_step(draw_fn, update_fn, hoist: int):
     return step
 
 
+def freshness_policy(
+    total_units: int,
+    batch: int,
+    hoist: int,
+    min_updates: int = 1536,
+    min_batch: int = 8,
+) -> tuple:
+    """Truncated-budget freshness floor (stale-snapshot mitigation).
+
+    A batched step applies ``batch`` samples against ONE table snapshot;
+    the reference applies them one at a time, each seeing all previous
+    writes (e.g. DeepWalk.cpp:133-148). At full default budgets the
+    sequential-snapshot count total/batch is in the thousands and
+    quality parity holds, but at truncated budgets (e.g. deepwalk
+    -walk_times 2) the run degenerates to a few hundred snapshots and
+    convergence lags the reference (measured: link-AUC 0.66 vs 0.94 at
+    1/5 budget, experiments/walk_parity.py). When the run would see
+    fewer than ``min_updates`` sequential updates, shrink the per-update
+    batch and raise the micro-step factor to compensate, so the per-call
+    draw volume (batch * hoist) stays roughly constant and throughput
+    survives while per-sample freshness approaches the reference's.
+
+    ``min_updates`` = 1536 sits just below the walk family's DEFAULT
+    budget snapshot count (walk_times=10 on the 20k parity graph = 1562
+    steps at batch 128, where parity holds at 0.9966 vs 0.9958), so
+    default-budget configs are untouched and only genuinely truncated
+    runs re-batch.
+
+    Returns the adjusted (batch, hoist).
+    """
+    if batch <= min_batch or total_units >= min_updates * batch:
+        return batch, hoist
+    new_batch = int(max(min_batch, total_units // min_updates))
+    grow = max(1, batch // new_batch)
+    return new_batch, min(max(1, hoist) * grow, 64)
+
+
 def clamp_batch(n_rows: int, batch: int, group: int = 1) -> int:
     """Stability guard for collision="sum" batched updates.
 

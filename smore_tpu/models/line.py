@@ -34,6 +34,7 @@ from smore_tpu.models.base import (
     zeros_embedding,
 )
 from smore_tpu.ops.update import (
+    sgns_banded_block,
     sgns_shared_negs_step,
     sgns_shared_negs_step_banded,
     sgns_step,
@@ -174,7 +175,7 @@ class LINE(PairModelBase):
         return step
 
     def _make_banded_step(self, batch, negatives, shared_negatives, group,
-                          hoist=1, pallas_scatter=False):
+                          hoist=1, pallas_scatter=False, fused=False):
         order = self.order
         Ks = shared_negatives
         band_size = self.banded_tables.band_size
@@ -184,7 +185,8 @@ class LINE(PairModelBase):
         def inner(state, x, alpha):
             sb, db, src, pos, negs = x
             kw = dict(k_equiv=negatives, src_group=group,
-                      pallas_scatter=pallas_scatter)
+                      pallas_scatter=pallas_scatter,
+                      fused=fused and order == 2)
             if order == 1:
                 w, _, loss = sgns_shared_negs_step_banded(
                     state["vertex"], state["vertex"], db, band_size,
@@ -209,6 +211,28 @@ class LINE(PairModelBase):
         def step(state, bt, key, alpha):
             x = bt.draw_banded_batch(key, batch, group, Ks)
             return inner(state, x, alpha)
+
+        return step
+
+    def _make_banded_block_step(self, batch, negatives, shared_negatives,
+                                group, hold, pallas_scatter=False):
+        """Band-PERSISTENT superstep (order-2 only): one stratum held for
+        ``hold`` micro-batches; both band slices are paid once per block
+        instead of once per micro-step (ops.update.sgns_banded_block,
+        sampling law unchanged -- BandedTables.draw_banded_block)."""
+        band_size = self.banded_tables.band_size
+        Ks = shared_negatives
+
+        def step(state, bt, key, alphas):
+            sb, db, src, pos, negs = bt.draw_banded_block(
+                key, batch, group, Ks, hold
+            )
+            wv, wc, loss = sgns_banded_block(
+                state["vertex"], state["context"], sb, db, band_size,
+                src, pos, negs, alphas, k_equiv=negatives,
+                src_group=group, pallas_scatter=pallas_scatter,
+            )
+            return {"vertex": wv, "context": wc}, loss
 
         return step
 
@@ -244,6 +268,16 @@ class LINE(PairModelBase):
         # would change the merge cadence)
         banded: object = "auto",  # True | False | "auto" (see module
         # constant): band-stratified updates, the large-table fast path
+        band_hold: object = "auto",  # band-PERSISTENT superstep (order-2
+        # banded path): hold ONE stratum for the whole hoist block so
+        # both band slices are paid once per block instead of once per
+        # micro-step (sgns_banded_block; per-SAMPLE law unchanged, but
+        # steps*batch consecutive samples share a stratum). Measured at
+        # Youtube scale: +9% throughput (22.7 vs 20.8 M samples/s) but
+        # the coarser stratum coverage costs quality at the 40M gate
+        # (AUC 0.557@hold=8 / 0.514@hold=32 vs 0.614 per-step,
+        # experiments/band_hold_bench.py) -- so "auto" = OFF; the fused
+        # Pallas band kernel is the sanctioned fast path instead
         band_size: int = 0,  # 0 = sampling.banded.DEFAULT_BAND_SIZE
         mesh=None,
         sharding: str = "dp",
@@ -294,25 +328,49 @@ class LINE(PairModelBase):
         if use_banded:
             from smore_tpu.sampling.banded import (
                 DEFAULT_BAND_SIZE,
+                FUSED_BAND_SIZE,
                 BandedTables,
             )
 
-            # "auto": the serial in-VMEM scatter kernel beats XLA's
-            # scatter engine 5.7 vs 10 ns/row on TPU (1.304 vs 1.99
-            # ms/step end-to-end at Youtube scale); tile constraint =
-            # kernel's (B multiple of 2048, or <2048 and multiple of 8)
-            # for both scatter batches (pos: batch rows, src: batch/G).
+            # Tile constraint shared by both Pallas paths: B multiple of
+            # 2048, or < 2048 and a multiple of 8 (pos: batch rows,
+            # src: batch/G rows).
             def _tiles(b):
                 return b % 2048 == 0 or (b < 2048 and b % 8 == 0)
 
-            pallas_scat = use_pallas is True or (
-                use_pallas == "auto"
-                and jax.default_backend() == "tpu"
+            on_tpu = jax.default_backend() == "tpu"
+            # FUSED kernel (ops/pallas_sgns_banded.py): gather + SGNS
+            # math + scatter in one VMEM-resident pass -- the fast path
+            # for the ungrouped 2D config (the production default).
+            # use_pallas="scatter" selects the scatter-only kernel.
+            fused = (
+                self.order == 2
+                and group == 1
                 and _tiles(batch)
-                and _tiles(batch // group)
+                and (use_pallas is True or (use_pallas == "auto" and on_tpu))
+            )
+            # Fallback: serial in-VMEM scatter kernel only (5.7 vs 10
+            # ns/row, 1.304 vs 1.99 ms/step at Youtube scale).
+            pallas_scat = not fused and (
+                use_pallas is True
+                or (use_pallas in ("auto", "scatter") and on_tpu
+                    and _tiles(batch) and _tiles(batch // group))
             )
 
-            band_size = band_size or DEFAULT_BAND_SIZE
+            # both bands must fit VMEM together on the fused path
+            auto_band = band_size == 0
+            band_size = band_size or (
+                FUSED_BAND_SIZE if fused else DEFAULT_BAND_SIZE
+            )
+            if fused and auto_band and band_size < DEFAULT_BAND_SIZE:
+                # keep batch-per-stratum-row constant: the finer strata
+                # of the VMEM-sized band must not coarsen per-budget
+                # stratum coverage (measured: batch 32768 at band 16392
+                # costs 0.04 AUC at the 40M gate; halving the batch
+                # restores the proven coverage ratio of the 32776-band
+                # config -- experiments/fused_bench.py)
+                b2 = batch * band_size // DEFAULT_BAND_SIZE
+                batch = max(2048, b2 // 2048 * 2048)
             two_d = self.order == 2
             bt = getattr(self, "banded_tables", None)
             if bt is None or bt.band_size != band_size or bt.two_d != two_d:
@@ -326,10 +384,19 @@ class LINE(PairModelBase):
                 k: jnp.pad(v, ((0, n_pad - n), (0, 0)))
                 for k, v in self.state.items()
             }
+            use_hold = band_hold is True and self.order == 2 and hoist > 1
+            if use_hold:
+                step_fn = self._make_banded_block_step(
+                    batch, negative_samples, shared_negatives, group,
+                    hoist, pallas_scatter=pallas_scat,
+                )
+            else:
+                step_fn = self._make_banded_step(
+                    batch, negative_samples, shared_negatives, group,
+                    hoist, pallas_scatter=pallas_scat, fused=fused,
+                )
             driver = TrainDriver(
-                self._make_banded_step(batch, negative_samples,
-                                       shared_negatives, group, hoist,
-                                       pallas_scatter=pallas_scat),
+                step_fn,
                 ctx=bt,
                 samples_per_step=batch * hoist,
                 alpha=alpha,

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from smore_tpu.models.base import (
     PairModelBase,
     TrainDriver,
+    freshness_policy,
     hoisted_scan_step,
     init_embedding,
     zeros_embedding,
@@ -113,6 +114,13 @@ class WalkSGNSBase(PairModelBase):
     ) -> None:
         if mesh is not None and sharding == "dp":
             hoist = 1  # DP merges per-device deltas every step
+        else:
+            # truncated-budget auto-policy: approximate the reference's
+            # per-sample freshness when the walk budget is small
+            # (base.freshness_policy; gated by walk_parity trunc runs)
+            batch_walks, hoist = freshness_policy(
+                total_walks, batch_walks, hoist
+            )
         driver = TrainDriver(
             self._make_step(
                 batch_walks, negatives, shared_negatives, collision, hoist

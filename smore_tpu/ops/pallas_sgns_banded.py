@@ -1,0 +1,195 @@
+"""Pallas TPU kernel: FULLY fused banded SGNS micro-step.
+
+The banded SGNS step's cost is dominated by per-row memory engine ops:
+two gathers (source rows, positive-context rows) and two scatter-adds
+(their deltas) of 256-byte rows, ~6-10 ns/row each through XLA's
+gather/scatter engine, plus the HBM round-trips of the gathered/delta
+matrices between those ops (4 x 8.4 MB per micro-step at batch 32768).
+This kernel keeps BOTH band slices resident in VMEM for the whole batch
+and performs gather -> SGNS gradient math -> scatter-add in ONE pass:
+per-row ops become VMEM dynamic slices (~2-6 ns) and the intermediate
+matrices never touch HBM.
+
+Semantics = ops.update.sgns_shared_negs_step_banded's compute core on
+identical indices (verified in tests/test_pallas_sgns_banded.py):
+
+    g_pos = (1 - sigmoid(v . cp)) * alpha                 (B,)
+    g_neg = -sigmoid(v @ cn^T) * alpha * (k_equiv / Ks)   (B, Ks)
+    dsv[src] += g_pos * cp + g_neg @ cn    (serial RMW, duplicates sum)
+    ds[pos]  += g_pos * v                  (serial RMW)
+    d_neg    = g_neg^T @ v                 (returned; applied by caller)
+
+VMEM budget: two (band_size, D) bands + two (TB, D) scratch tiles + the
+(Ks, D) negative pool/accumulator. At the fused-path band size 16392
+(sampling.banded.FUSED_BAND_SIZE) and D=64 that is ~9.5 MB -- inside the
+~16 MB/core budget; the regular banded path's 32776 band would not fit
+twice, which is why the fused path uses its own band size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_U = 8  # serial-loop unroll (Mosaic fori_loop supports unroll=1 only)
+
+
+def _make_kernel(mode: str):
+    """mode: "full" (production), or an ablation for the perf breakdown
+    (experiments/fused_breakdown.py): "no_gather" skips the serial
+    gather loop, "no_scatter" skips the serial scatter loop, "mem_only"
+    skips the gradient math."""
+
+    def _kernel(src_ref, pos_ref, params_ref, dsv_in, ds_in, cn_ref,
+                dsv_ref, ds_ref, dneg_ref, loss_ref, v_s, cp_s, acc,
+                lsum):
+        i = pl.program_id(0)
+        n_i = pl.num_programs(0)
+        alpha = params_ref[0]
+        scale = params_ref[1]  # alpha * k_equiv / Ks
+        kscale = params_ref[2]  # k_equiv / Ks
+        tb = v_s.shape[0]
+        base = i * tb
+
+        # ---- gather: band rows -> scratch tiles (serial VMEM reads) ----
+        def gbody(j, _):
+            j0 = j * _U
+            for k in range(_U):
+                r = src_ref[base + j0 + k]
+                v_s[pl.ds(j0 + k, 1), :] = dsv_ref[pl.ds(r, 1), :]
+                r2 = pos_ref[base + j0 + k]
+                cp_s[pl.ds(j0 + k, 1), :] = ds_ref[pl.ds(r2, 1), :]
+            return 0
+
+        if mode != "no_gather":
+            jax.lax.fori_loop(0, tb // _U, gbody, 0, unroll=1)
+
+        @pl.when(i == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+            lsum[0, 0] = 0.0
+
+        if mode != "mem_only":
+            # ---- fused SGNS gradient math (VPU + MXU) ----
+            v = v_s[:]
+            cp = cp_s[:]
+            cn = cn_ref[:]
+            s_pos = jax.nn.sigmoid(jnp.sum(v * cp, axis=1, keepdims=True))
+            g_pos = (1.0 - s_pos) * alpha
+            s_neg = jax.nn.sigmoid(
+                jnp.dot(v, cn.T, preferred_element_type=jnp.float32)
+            )
+            g_neg = s_neg * (-scale)
+
+            eps = 1e-7
+            lsum[0, 0] += jnp.sum(-jnp.log(s_pos + eps)) - kscale * jnp.sum(
+                jnp.log(1.0 - s_neg + eps)
+            )
+            acc[:] += jnp.dot(g_neg.T, v, preferred_element_type=jnp.float32)
+
+            # overwrite scratch with the deltas (originals no longer needed)
+            cp_s[:] = g_pos * cp + jnp.dot(
+                g_neg, cn, preferred_element_type=jnp.float32
+            )  # d_src
+            v_s[:] = g_pos * v  # d_pos
+
+        # ---- scatter: serial RMW back into the bands ----
+        def sbody(j, _):
+            j0 = j * _U
+            for k in range(_U):
+                r = src_ref[base + j0 + k]
+                dsv_ref[pl.ds(r, 1), :] = (
+                    dsv_ref[pl.ds(r, 1), :] + cp_s[pl.ds(j0 + k, 1), :]
+                )
+                r2 = pos_ref[base + j0 + k]
+                ds_ref[pl.ds(r2, 1), :] = (
+                    ds_ref[pl.ds(r2, 1), :] + v_s[pl.ds(j0 + k, 1), :]
+                )
+            return 0
+
+        if mode != "no_scatter":
+            jax.lax.fori_loop(0, tb // _U, sbody, 0, unroll=1)
+
+        @pl.when(i == n_i - 1)
+        def _():
+            dneg_ref[:] = acc[:]
+            loss_ref[0, 0] = lsum[0, 0]
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_equiv", "interpret", "mode")
+)
+def sgns_banded_fused(
+    dsv: jnp.ndarray,  # (Nb, D) f32 source band slice
+    ds: jnp.ndarray,  # (Nb, D) f32 context band slice
+    src_l: jnp.ndarray,  # (B,) i32 band-LOCAL source rows
+    pos_l: jnp.ndarray,  # (B,) i32 band-LOCAL positive rows
+    cn: jnp.ndarray,  # (Ks, D) f32 shared-negative rows
+    alpha: jnp.ndarray,  # scalar
+    k_equiv: int = 5,
+    interpret: bool = False,
+    mode: str = "full",
+):
+    """Returns (dsv', ds', d_neg (Ks, D), loss_sum ()). Both bands are
+    donated (aliased outputs). B must tile by 2048 (or be < 2048 and a
+    multiple of 8)."""
+    B, D = src_l.shape[0], dsv.shape[1]
+    Ks = cn.shape[0]
+    Nb = dsv.shape[0]
+    TB = min(2048, B)
+    assert B % TB == 0 and TB % _U == 0, (B, TB)
+
+    alpha = jnp.asarray(alpha, jnp.float32)
+    params = jnp.stack(
+        [alpha, alpha * (k_equiv / Ks), jnp.float32(k_equiv / Ks)]
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((Nb, D), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Nb, D), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ks, D), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Nb, D), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Nb, D), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ks, D), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TB, D), jnp.float32),
+            pltpu.VMEM((TB, D), jnp.float32),
+            pltpu.VMEM((Ks, D), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+    )
+    dsv2, ds2, d_neg, loss = pl.pallas_call(
+        _make_kernel(mode),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Nb, D), jnp.float32),
+            jax.ShapeDtypeStruct((Nb, D), jnp.float32),
+            jax.ShapeDtypeStruct((Ks, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        # operand numbering includes the 3 scalar-prefetch args
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(src_l.astype(jnp.int32), pos_l.astype(jnp.int32), params,
+      dsv, ds, cn)
+    return dsv2, ds2, d_neg, loss[0, 0]

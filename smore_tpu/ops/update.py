@@ -952,10 +952,25 @@ def sgns_shared_negs_step_banded(
     # scatter-adds (B pos rows, B/G src rows) through the serial
     # in-VMEM Pallas kernel (ops/pallas_scatter.py) instead of XLA's
     # scatter engine; identical sum semantics up to float ordering
+    fused: bool = False,  # 2D ungrouped path only: run gather + SGNS
+    # math + scatter as ONE Pallas kernel with both bands VMEM-resident
+    # (ops/pallas_sgns_banded.py) -- the per-row ops drop from XLA
+    # engine cost to VMEM dynamic-slice cost and the gathered/delta
+    # matrices never round-trip HBM. Identical math up to float
+    # ordering (tests/test_pallas_sgns_banded.py).
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Semantics = sgns_shared_negs_step(collision="sum") on the same
     (src, pos, negs); only the scatter routing differs (verified bitwise
     in tests/test_banded.py)."""
+    if fused:
+        assert src_band_start is not None and not shared_table, (
+            "fused kernel covers the 2D two-table banded path"
+        )
+        assert src_group == 1, "fused kernel is for the ungrouped path"
+        return _sgns_banded_step_fused(
+            w_vertex, w_context, band_start, band_size, src, pos, negs,
+            alpha, k_equiv, src_band_start,
+        )
     if pallas_scatter:
         from smore_tpu.ops.pallas_scatter import band_scatter_add
 
@@ -1056,3 +1071,167 @@ def sgns_shared_negs_step_banded(
         jnp.log(1.0 - s_neg_full[:m] + eps), axis=-1
     )
     return w_vertex, w_context, jnp.mean(ce)
+
+
+def _sgns_banded_step_fused(
+    w_vertex, w_context, band_start, band_size, src, pos, negs, alpha,
+    k_equiv, src_band_start,
+):
+    """Fused-kernel variant of the 2D banded step: slice both bands,
+    one Pallas kernel for gather+grads+scatter, band-split negative
+    updates, write back. Same structure as the unfused body below."""
+    from smore_tpu.ops.pallas_sgns_banded import sgns_banded_fused
+
+    D = w_context.shape[1]
+    n_pad = w_context.shape[0]
+    B = src.shape[0]
+    Ks = negs.shape[0]
+    _interp = jax.default_backend() == "cpu"
+
+    ds = jax.lax.dynamic_slice(w_context, (band_start, 0), (band_size, D))
+    dsv = jax.lax.dynamic_slice(
+        w_vertex, (src_band_start, 0), (band_size, D)
+    )
+    cn = w_context.at[negs].get(mode="promise_in_bounds")
+
+    dsv, ds, d_neg, loss_sum = sgns_banded_fused(
+        dsv, ds, src - src_band_start, pos - band_start, cn, alpha,
+        k_equiv=k_equiv, interpret=_interp,
+    )
+
+    # negatives: band-split (both scatters are Ks rows -- tiny)
+    negs_l = negs - band_start
+    in_b = (negs_l >= 0) & (negs_l < band_size)
+    ds = ds.at[jnp.where(in_b, negs_l, band_size)].add(d_neg, mode="drop")
+    w_context = w_context.at[jnp.where(in_b, n_pad, negs)].add(
+        d_neg, mode="drop"
+    )
+
+    w_context = jax.lax.dynamic_update_slice(w_context, ds, (band_start, 0))
+    w_vertex = jax.lax.dynamic_update_slice(
+        w_vertex, dsv, (src_band_start, 0)
+    )
+    return w_vertex, w_context, loss_sum / B
+
+
+# --------------------------------------------------------------------- #
+# Band-PERSISTENT block SGNS: the held-band superstep.
+#
+# The per-step banded path re-pays the band slice + write-back (2 tables
+# x 8.4 MB x in+out ~= 33.5 MB) on EVERY micro-step even under hoisted
+# draws. This block kernel receives S micro-batches that all share ONE
+# (src band, dst band) stratum (BandedTables.draw_banded_block -- same
+# per-sample law), slices both bands ONCE, scans the S updates against
+# the in-register band slices, and writes back ONCE: band copy traffic
+# drops by the hold factor S. See PERF_NOTES "Roofline accounting".
+#
+# Deviation vs S independent sgns_shared_negs_step_banded calls (both
+# documented, quality-gated at the 40M AUC budget):
+#   - negatives falling OUTSIDE the bands read the block-start table
+#     snapshot and their updates apply once at block end (within-block
+#     staleness of <= S steps on ~S*Ks rows out of n); IN-band rows
+#     (positives, sources, in-band negatives) stay exactly as fresh as
+#     the per-step path via the scanned band carry.
+# --------------------------------------------------------------------- #
+def sgns_banded_block(
+    w_vertex: jnp.ndarray,  # (Np, D) order-2 vertex table
+    w_context: jnp.ndarray,  # (Np, D), Np padded to a band multiple
+    src_band_start: jnp.ndarray,  # () int32 -- all src in this band
+    band_start: jnp.ndarray,  # () int32 -- all pos in this band
+    band_size: int,
+    src: jnp.ndarray,  # (S, B) global vids, repeat layout if grouped
+    pos: jnp.ndarray,  # (S, B) global vids inside the dst band
+    negs: jnp.ndarray,  # (S, Ks) global shared negative pools
+    alphas: jnp.ndarray,  # (S,) per-micro-step decayed learning rates
+    k_equiv: int = 5,
+    src_group: int = 1,
+    pallas_scatter: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    if pallas_scatter:
+        from smore_tpu.ops.pallas_scatter import band_scatter_add
+
+        _interp = jax.default_backend() == "cpu"
+
+        def _scat(band, idx, delta):
+            return band_scatter_add(band, idx, delta, interpret=_interp)
+    else:
+        def _scat(band, idx, delta):
+            return band.at[idx].add(delta, mode="promise_in_bounds")
+
+    S, Ks = negs.shape
+    B = src.shape[1]
+    D = w_context.shape[1]
+    n_pad = w_context.shape[0]
+    G = src_group
+
+    ds = jax.lax.dynamic_slice(w_context, (band_start, 0), (band_size, D))
+    dsv = jax.lax.dynamic_slice(
+        w_vertex, (src_band_start, 0), (band_size, D)
+    )
+    pos_l = pos - band_start
+    src_l = src - src_band_start
+    negs_l = negs - band_start
+    in_b = (negs_l >= 0) & (negs_l < band_size)
+    # out-of-band negative rows: one stale gather at block start (their
+    # per-step updates are Ks tiny rows; freshness deferred to block end)
+    cn_out = w_context.at[negs.reshape(-1)].get(
+        mode="promise_in_bounds"
+    ).reshape(S, Ks, D)
+
+    def body(carry, x):
+        ds, dsv = carry
+        src_l, pos_l, negs_l, in_b, cn_out, alpha = x
+        if G > 1:
+            src_small = src_l[::G]
+            v = jnp.repeat(
+                dsv.at[src_small].get(mode="promise_in_bounds"), G, axis=0
+            )
+        else:
+            v = dsv.at[src_l].get(mode="promise_in_bounds")
+        cp = ds.at[pos_l].get(mode="promise_in_bounds")
+        cn_in = ds.at[
+            jnp.where(in_b, negs_l, 0)
+        ].get(mode="promise_in_bounds")
+        cn = jnp.where(in_b[:, None], cn_in, cn_out)
+
+        s_pos = jax.nn.sigmoid(jnp.einsum("bd,bd->b", v, cp))
+        f_neg = jnp.dot(v, cn.T, preferred_element_type=jnp.float32)
+        s_neg = jax.nn.sigmoid(f_neg)
+        g_pos = (1.0 - s_pos) * alpha
+        g_neg = (0.0 - s_neg) * (alpha * (k_equiv / Ks))
+        d_src = g_pos[:, None] * cp + jnp.dot(
+            g_neg, cn, preferred_element_type=jnp.float32
+        )
+        d_pos = g_pos[:, None] * v
+        d_neg = jnp.dot(g_neg.T, v, preferred_element_type=jnp.float32)
+
+        ds = _scat(ds, pos_l, d_pos)
+        ds = ds.at[jnp.where(in_b, negs_l, band_size)].add(
+            d_neg, mode="drop"
+        )
+        if G > 1:
+            dsv = _scat(dsv, src_small,
+                        d_src.reshape(B // G, G, D).sum(axis=1))
+        else:
+            dsv = _scat(dsv, src_l, d_src)
+        m = min(1024, B)
+        eps = 1e-7
+        ce = -jnp.log(s_pos[:m] + eps) - (k_equiv / Ks) * jnp.sum(
+            jnp.log(1.0 - s_neg[:m] + eps), axis=-1
+        )
+        return (ds, dsv), (d_neg, jnp.mean(ce))
+
+    (ds, dsv), (d_neg_all, losses) = jax.lax.scan(
+        body, (ds, dsv), (src_l, pos_l, negs_l, in_b, cn_out, alphas)
+    )
+
+    w_context = jax.lax.dynamic_update_slice(w_context, ds, (band_start, 0))
+    w_vertex = jax.lax.dynamic_update_slice(
+        w_vertex, dsv, (src_band_start, 0)
+    )
+    # out-of-band negative updates, applied once at block end (in-band
+    # ones already accumulated into ds inside the scan)
+    w_context = w_context.at[
+        jnp.where(in_b, n_pad, negs).reshape(-1)
+    ].add(d_neg_all.reshape(S * Ks, D), mode="drop")
+    return w_vertex, w_context, jnp.mean(losses)

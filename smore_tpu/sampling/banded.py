@@ -25,8 +25,10 @@ changes WHICH samples share a step (within-step correlation), as grouped
 draws already do; quality is gated by the community-AUC parity runs.
 
 Memory: the banded edge table stores both the slot edge and its alias
-edge inline, each with its (segment offset, length) for grouped context
-draws -- a (E, 16) f32 row (64 B) so one gather serves the whole draw.
+edge inline -- a (E, 8) f32 row (32 B) so ONE gather serves the whole
+ungrouped draw (the draw's dominant cost, experiments/fused_breakdown.py);
+the (segment offset, length) pointers for grouped context draws live in
+a separate (E, 4) table gathered only when group > 1.
 
 Two flavors (build(two_d=...)):
   1D (two_d=False): strata = dst band only. The source side is handled
@@ -53,9 +55,12 @@ from smore_tpu.sampling.alias import build_alias, build_alias_segmented
 from smore_tpu.sampling.tables import SamplerTables, _vertex_distribution
 
 # edge_pa column layout (slot edge | alias edge):
-#   0 prob | 1 src  2 dst  3 seg_off  4 seg_deg
-#          | 5 asrc 6 adst 7 aseg_off 8 aseg_deg   (9..15 zero pad)
-_EDGE_COLS = 16
+#   0 prob | 1 src 2 dst | 3 asrc 4 adst   (5..7 zero pad)
+# Segment data for GROUPED draws lives in the separate edge_seg table
+# ((E, 4): seg_off, seg_deg, aseg_off, aseg_deg) so the ungrouped
+# production draw gathers 32-byte rows instead of 64 -- the slot gather
+# is the draw's dominant cost (experiments/fused_breakdown.py).
+_EDGE_COLS = 8
 
 # Default band size: ~32k rows (8 MB of f32x64 -- comfortably inside the
 # measured small-scatter regime), a multiple of 8 (f32 sublane tile), but
@@ -68,6 +73,16 @@ _EDGE_COLS = 16
 # de-aliasing: 32776 = 8 * 17 * 241.
 DEFAULT_BAND_SIZE = 32776
 
+# Band size for the FUSED Pallas path (ops/pallas_sgns_banded.py): both
+# bands live in VMEM simultaneously (~16 MB/core), so each must fit in
+# ~4.2 MB at D=64 f32. Same de-aliasing requirement as above:
+# 16392 = 8 * 3 * 683 (2-adic factor only 2^3). Smaller bands only
+# refine the stratification -- the per-sample law is band-size-invariant
+# (the telescoping argument above holds for any partition) and each
+# vertex participates in n_bands strata per side, so per-vertex update
+# mass is unchanged.
+FUSED_BAND_SIZE = 16392
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
@@ -76,7 +91,10 @@ class BandedTables:
 
     band_pa:   (n_bands, 2) f32 [prob, alias] -- band mass alias table
     band_meta: (n_bands, 2) i32 [slot offset, slot count]
-    edge_pa:   (E, 16) f32, banded slot layout (see module docstring)
+    edge_pa:   (E, 8) f32, banded slot layout (see module docstring)
+    edge_seg:  (E, 4) f32 [seg_off, seg_deg, aseg_off, aseg_deg] --
+               (src, band)-segment pointers, gathered only by GROUPED
+               draws (group > 1)
     ctx_pa:    (E, 4) f32 [prob, dst, alias_dst, 0] -- within-(src,band)
                segment context alias table, aligned with edge_pa slots
     neg_pa:    (N, 2) f32 -- the global negative table (shared with the
@@ -86,6 +104,7 @@ class BandedTables:
     band_pa: jnp.ndarray
     band_meta: jnp.ndarray
     edge_pa: jnp.ndarray
+    edge_seg: jnp.ndarray
     ctx_pa: jnp.ndarray
     neg_pa: jnp.ndarray
     band_size: int
@@ -95,7 +114,7 @@ class BandedTables:
 
     def tree_flatten(self):
         children = (self.band_pa, self.band_meta, self.edge_pa,
-                    self.ctx_pa, self.neg_pa)
+                    self.edge_seg, self.ctx_pa, self.neg_pa)
         return children, (self.band_size, self.n_rows_padded,
                           self.n_bands, self.two_d)
 
@@ -184,12 +203,13 @@ class BandedTables:
         edge_pa[:, 0] = ep
         edge_pa[:, 1] = bsrc
         edge_pa[:, 2] = bdst
-        edge_pa[:, 3] = seg_off
-        edge_pa[:, 4] = seg_deg
-        edge_pa[:, 5] = bsrc[ea]
-        edge_pa[:, 6] = bdst[ea]
-        edge_pa[:, 7] = seg_off[ea]
-        edge_pa[:, 8] = seg_deg[ea]
+        edge_pa[:, 3] = bsrc[ea]
+        edge_pa[:, 4] = bdst[ea]
+        edge_seg = np.zeros((e, 4), dtype=np.float32)
+        edge_seg[:, 0] = seg_off
+        edge_seg[:, 1] = seg_deg
+        edge_seg[:, 2] = seg_off[ea]
+        edge_seg[:, 3] = seg_deg[ea]
 
         ctx_pa = np.zeros((e, 4), dtype=np.float32)
         ctx_pa[:, 0] = cp
@@ -208,6 +228,7 @@ class BandedTables:
             band_meta=jnp.asarray(np.stack([strat_off, strat_cnt], 1),
                                   jnp.int32),
             edge_pa=jnp.asarray(edge_pa),
+            edge_seg=jnp.asarray(edge_seg),
             ctx_pa=jnp.asarray(ctx_pa),
             neg_pa=neg_pa,
             band_size=band_size,
@@ -249,21 +270,23 @@ class BandedTables:
             src_band_start = jnp.int32(0)
             dst_band_start = s * self.band_size
 
-        u = jax.random.uniform(ku, (batch, 4))
+        u = jax.random.uniform(ku, (batch, 2 if group == 1 else 4))
         # slot edge draw within the band
         r = (u[:bg, 0] * cnt).astype(jnp.int32)
         slot = off + jnp.minimum(r, jnp.maximum(cnt - 1, 0))
         row = self.edge_pa.at[slot].get(mode="promise_in_bounds")
         take = (u[:bg, 1] < row[:, 0])[:, None]
-        picked = jnp.where(take, row[:, 1:5], row[:, 5:9])
+        picked = jnp.where(take, row[:, 1:3], row[:, 3:5])
         src_small = picked[:, 0].astype(jnp.int32)
         pos0 = picked[:, 1].astype(jnp.int32)
-        seg_off = picked[:, 2].astype(jnp.int32)
-        seg_deg = picked[:, 3].astype(jnp.int32)
 
         if group == 1:
             src, pos = src_small, pos0
         else:
+            seg = self.edge_seg.at[slot].get(mode="promise_in_bounds")
+            segp = jnp.where(take, seg[:, 0:2], seg[:, 2:4])
+            seg_off = segp[:, 0].astype(jnp.int32)
+            seg_deg = segp[:, 1].astype(jnp.int32)
             src = jnp.repeat(src_small, group)
             so = jnp.repeat(seg_off, group)
             sd = jnp.repeat(seg_deg, group)
@@ -318,7 +341,9 @@ class BandedTables:
             sb = jnp.zeros((steps,), jnp.int32)
             db = s * self.band_size
 
-        u = jax.random.uniform(ku, (steps, batch, 4))
+        u = jax.random.uniform(
+            ku, (steps, batch, 2 if group == 1 else 4)
+        )
         r = (u[:, :bg, 0] * cnt[:, None].astype(jnp.float32)).astype(
             jnp.int32
         )
@@ -329,16 +354,105 @@ class BandedTables:
             mode="promise_in_bounds"
         ).reshape(steps, bg, -1)
         take = (u[:, :bg, 1] < row[:, :, 0])[:, :, None]
-        picked = jnp.where(take, row[:, :, 1:5], row[:, :, 5:9])
+        picked = jnp.where(take, row[:, :, 1:3], row[:, :, 3:5])
         src_small = picked[:, :, 0].astype(jnp.int32)
         pos0 = picked[:, :, 1].astype(jnp.int32)
 
         if group == 1:
             src, pos = src_small, pos0
         else:
-            seg_off = picked[:, :, 2].astype(jnp.int32)
-            seg_deg = picked[:, :, 3].astype(jnp.int32)
+            seg = self.edge_seg.at[slot.reshape(-1)].get(
+                mode="promise_in_bounds"
+            ).reshape(steps, bg, -1)
+            segp = jnp.where(take, seg[:, :, 0:2], seg[:, :, 2:4])
+            seg_off = segp[:, :, 0].astype(jnp.int32)
+            seg_deg = segp[:, :, 1].astype(jnp.int32)
             src = jnp.repeat(src_small, group, axis=1)
+            so = jnp.repeat(seg_off, group, axis=1)
+            sd = jnp.repeat(seg_deg, group, axis=1)
+            rr = (u[:, :, 2] * sd.astype(jnp.float32)).astype(jnp.int32)
+            cslot = so + jnp.minimum(rr, jnp.maximum(sd - 1, 0))
+            crow = self.ctx_pa.at[cslot.reshape(-1)].get(
+                mode="promise_in_bounds"
+            ).reshape(steps, batch, -1)
+            pos = jnp.where(u[:, :, 3] < crow[:, :, 0], crow[:, :, 1],
+                            crow[:, :, 2]).astype(jnp.int32)
+            pos = pos.at[:, ::group].set(pos0)
+
+        un = jax.random.uniform(kn, (steps, n_negs, 2))
+        n = self.neg_pa.shape[0]
+        j = jnp.minimum((un[:, :, 0] * n).astype(jnp.int32), n - 1)
+        nrow = self.neg_pa.at[j.reshape(-1)].get(
+            mode="promise_in_bounds"
+        ).reshape(steps, n_negs, -1)
+        negs = jnp.where(un[:, :, 1] < nrow[:, :, 0], j,
+                         nrow[:, :, 1].astype(jnp.int32))
+        return sb, db, src, pos, negs
+
+    def draw_banded_block(
+        self, key: jax.Array, batch: int, group: int, n_negs: int,
+        steps: int,
+    ):
+        """Band-PERSISTENT block draw: ONE stratum for ``steps``
+        consecutive micro-batches.
+
+        Law: each sample's marginal is still P(stratum) * P(pair |
+        stratum) = the exact unbanded joint edge law (the same
+        telescoping argument as draw_banded_batch -- the stratum is
+        drawn by its edge-sample mass). What changes vs per-step
+        stratification is only WHICH samples share a stratum: steps *
+        batch consecutive samples now do, so the per-stratum budget
+        allocation over a run is a multinomial with total/(steps*batch)
+        trials instead of total/batch -- a variance, not a bias. The
+        update step amortizes the band slice/write-back over the whole
+        block (the point of holding: ~33.5 MB/step of band copy traffic
+        drops by the hold factor -- PERF_NOTES "Roofline accounting").
+        Quality is gated at the 40M community-AUC parity budget like
+        every banded config.
+
+        Returns (sb, db, src, pos, negs) shaped (), (), (steps, batch),
+        (steps, batch), (steps, n_negs): scalar band starts shared by
+        every micro-batch; row i is micro-step i's draw."""
+        bg = batch // group
+        kb, ku, kn = jax.random.split(key, 3)
+
+        ub = jax.random.uniform(kb, (2,))
+        ns = self.band_pa.shape[0]
+        i = jnp.minimum((ub[0] * ns).astype(jnp.int32), ns - 1)
+        brow = self.band_pa[i]
+        s = jnp.where(ub[1] < brow[0], i, brow[1].astype(jnp.int32))
+        meta = self.band_meta[s]
+        off, cnt = meta[0], meta[1]
+        if self.two_d:
+            sb = (s // self.n_bands) * self.band_size
+            db = (s % self.n_bands) * self.band_size
+        else:
+            sb = jnp.int32(0)
+            db = s * self.band_size
+
+        u = jax.random.uniform(
+            ku, (steps, batch, 2 if group == 1 else 4)
+        )
+        r = (u[:, :bg, 0] * cnt.astype(jnp.float32)).astype(jnp.int32)
+        slot = off + jnp.minimum(r, jnp.maximum(cnt - 1, 0))
+        row = self.edge_pa.at[slot.reshape(-1)].get(
+            mode="promise_in_bounds"
+        ).reshape(steps, bg, -1)
+        take = (u[:, :bg, 1] < row[:, :, 0])[:, :, None]
+        picked = jnp.where(take, row[:, :, 1:3], row[:, :, 3:5])
+        src = picked[:, :, 0].astype(jnp.int32)
+        pos0 = picked[:, :, 1].astype(jnp.int32)
+
+        if group == 1:
+            pos = pos0
+        else:
+            seg = self.edge_seg.at[slot.reshape(-1)].get(
+                mode="promise_in_bounds"
+            ).reshape(steps, bg, -1)
+            segp = jnp.where(take, seg[:, :, 0:2], seg[:, :, 2:4])
+            seg_off = segp[:, :, 0].astype(jnp.int32)
+            seg_deg = segp[:, :, 1].astype(jnp.int32)
+            src = jnp.repeat(src, group, axis=1)
             so = jnp.repeat(seg_off, group, axis=1)
             sd = jnp.repeat(seg_deg, group, axis=1)
             rr = (u[:, :, 2] * sd.astype(jnp.float32)).astype(jnp.int32)

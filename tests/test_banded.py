@@ -222,3 +222,123 @@ def test_banded_auto_threshold_off_for_small_graphs(comm_graph):
     m.train(sample_times=0.01, batch=64, group=1, steps_per_call=4,
             verbose=False)  # banded="auto" default
     assert getattr(m, "banded_tables", None) is None
+
+
+# ------------------------------------------------------------------ #
+# Band-persistent superstep (draw_banded_block + sgns_banded_block)
+# ------------------------------------------------------------------ #
+@pytest.mark.parametrize("group", [1, 4])
+def test_banded_block_draw_law(comm_graph, group):
+    """One stratum per block; stratum marginal + in-band constraints +
+    conditional pair law inside the most-sampled stratum."""
+    g = comm_graph
+    bt = BandedTables.build(g, band_size=BAND, two_d=True)
+    nb = bt.n_bands
+    src_ref, dst_ref, jw = _joint_law(g)
+    strat_ref = (src_ref // BAND) * nb + dst_ref // BAND
+    n_strata = nb * nb
+    strat_p = np.zeros(n_strata)
+    np.add.at(strat_p, strat_ref, jw)
+
+    B, S, reps = 1024, 4, 150
+    counts = {}
+    strat_n = np.zeros(n_strata)
+
+    @jax.jit
+    def draw(key):
+        return bt.draw_banded_block(key, B, group, 8, S)
+
+    for r in range(reps):
+        sb, db, src, pos, negs = draw(jax.random.PRNGKey(r))
+        assert src.shape == (S, B) and pos.shape == (S, B)
+        assert negs.shape == (S, 8)
+        src, pos = np.asarray(src), np.asarray(pos)
+        s = (int(sb) // BAND) * nb + int(db) // BAND
+        strat_n[s] += 1
+        assert ((pos >= int(db)) & (pos < int(db) + BAND)).all()
+        assert ((src >= int(sb)) & (src < int(sb) + BAND)).all()
+        if s not in counts:
+            counts[s] = np.zeros((g.n_vertices, g.n_vertices))
+        np.add.at(counts[s], (src.ravel(), pos.ravel()), 1.0)
+
+    emp_s = strat_n / reps
+    sd = np.sqrt(strat_p * (1 - strat_p) / reps)
+    assert (np.abs(emp_s - strat_p) < 4 * sd + 1e-12).all()
+
+    s = int(strat_n.argmax())
+    pair_p = np.zeros((g.n_vertices, g.n_vertices))
+    sel = strat_ref == s
+    np.add.at(pair_p, (src_ref[sel], dst_ref[sel]), jw[sel])
+    pair_p /= pair_p.sum()
+    emp = counts[s] / counts[s].sum()
+    assert 0.5 * np.abs(emp - pair_p).sum() < 0.05
+
+
+@pytest.mark.parametrize("group,negs_mode",
+                         [(1, "in_band"), (4, "in_band"),
+                          (1, "disjoint_out"), (4, "disjoint_out")])
+def test_banded_block_equals_sequential_steps(comm_graph, group,
+                                              negs_mode):
+    """S micro-steps through sgns_banded_block == S sequential
+    sgns_shared_negs_step_banded calls on identical indices.
+
+    Exact when negatives are in-band (fresh via the scanned band carry)
+    or out-of-band but disjoint across micro-steps and untouched by
+    other updates (deferred application then commutes)."""
+    g = comm_graph
+    n_pad = -(-g.n_vertices // BAND) * BAND
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    D, B, Ks, S = 8, 64, 8, 3
+    wv = jax.random.normal(k1, (n_pad, D)) * 0.1
+    wc = jax.random.normal(k2, (n_pad, D)) * 0.1
+    sb, db = jnp.int32(1 * BAND), jnp.int32(2 * BAND)
+    src_small = jax.random.randint(k3, (S, B // group), BAND, 2 * BAND)
+    src = jnp.repeat(src_small, group, axis=1)
+    pos = jax.random.randint(k4, (S, B), 2 * BAND, 3 * BAND)
+    if negs_mode == "in_band":
+        negs = jax.random.randint(k5, (S, Ks), 2 * BAND, 3 * BAND)
+    else:
+        # disjoint out-of-band rows per micro-step: band 0 is outside
+        # both active bands (sb = BAND, db = 2*BAND)
+        negs = jnp.arange(S * Ks, dtype=jnp.int32).reshape(S, Ks)
+        assert int(negs.max()) < BAND
+    alphas = jnp.float32([0.05, 0.04, 0.03])
+
+    from smore_tpu.ops.update import sgns_banded_block
+    gv, gc, _ = sgns_banded_block(
+        wv, wc, sb, db, BAND, src, pos, negs, alphas, src_group=group,
+    )
+
+    rv, rc = wv, wc
+    for t in range(S):
+        rv, rc, _ = sgns_shared_negs_step_banded(
+            rv, rc, db, BAND, src[t], pos[t], negs[t], alphas[t],
+            src_group=group, src_band_start=sb,
+        )
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(rc),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_line_banded_block_e2e_quality(comm_graph):
+    """LINE o2 with the band-persistent superstep learns the same
+    structure as the per-micro-step banded path."""
+    g = comm_graph
+    kw = dict(sample_times=0.3, negative_samples=5, alpha=0.025,
+              batch=128, group=4, steps_per_call=64, hoist=4,
+              verbose=False)
+    m = LINE(g, seed=0)
+    m.init(dim=16, order=2)
+    m.train(banded=True, band_size=BAND, band_hold=True, **kw)
+    assert m.state["vertex"].shape == (g.n_vertices, 16)
+    assert np.isfinite(np.asarray(m.state["vertex"])).all()
+    auc_hold = _auc(m, g, np.random.default_rng(0))
+
+    m2 = LINE(g, seed=0)
+    m2.init(dim=16, order=2)
+    m2.train(banded=True, band_size=BAND, band_hold=False, **kw)
+    auc_per_step = _auc(m2, g, np.random.default_rng(0))
+    assert auc_hold > 0.8
+    assert abs(auc_hold - auc_per_step) < 0.08, (auc_hold, auc_per_step)

@@ -1,0 +1,91 @@
+"""Fused banded SGNS Pallas kernel (ops/pallas_sgns_banded.py) vs the
+unfused banded step on identical indices (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from smore_tpu.graph.graph import Graph
+from smore_tpu.models.line import LINE
+from smore_tpu.ops.update import sgns_shared_negs_step_banded
+
+BAND = 64
+
+
+@pytest.fixture(scope="module")
+def comm_graph():
+    rng = np.random.default_rng(7)
+    edges = []
+    for _ in range(3000):
+        c = rng.integers(0, 4)
+        if rng.random() < 0.9:
+            a, b = rng.integers(0, 50, 2) + 50 * c
+        else:
+            a, b = rng.integers(0, 200, 2)
+        if a != b:
+            edges.append((f"v{a}", f"v{b}", float(rng.integers(1, 4))))
+    return Graph.from_edges(edges, undirected=True)
+
+
+def test_fused_equals_unfused_banded_step(comm_graph):
+    g = comm_graph
+    n_pad = -(-g.n_vertices // BAND) * BAND
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    D, B, Ks = 64, 128, 16
+    wv = jax.random.normal(k1, (n_pad, D)) * 0.1
+    wc = jax.random.normal(k2, (n_pad, D)) * 0.1
+    sb, db = jnp.int32(1 * BAND), jnp.int32(2 * BAND)
+    src = jax.random.randint(k3, (B,), BAND, 2 * BAND)
+    pos = jax.random.randint(k4, (B,), 2 * BAND, 3 * BAND)
+    negs = jax.random.randint(k5, (Ks,), 0, g.n_vertices)
+    alpha = jnp.float32(0.05)
+
+    rv, rc, rloss = sgns_shared_negs_step_banded(
+        wv, wc, db, BAND, src, pos, negs, alpha, src_band_start=sb,
+    )
+    gv, gc, gloss = sgns_shared_negs_step_banded(
+        wv, wc, db, BAND, src, pos, negs, alpha, src_band_start=sb,
+        fused=True,
+    )
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(rc),
+                               rtol=2e-5, atol=1e-6)
+    # loss conventions differ (fused = mean over ALL B; unfused = mean
+    # over the first min(1024, B)); at B=128 both cover the whole batch
+    np.testing.assert_allclose(float(gloss), float(rloss), rtol=1e-4)
+
+
+def test_line_banded_fused_e2e_quality(comm_graph):
+    """LINE o2 trained with the fused kernel (interpret mode) matches
+    the unfused banded path's structure quality."""
+    g = comm_graph
+    kw = dict(sample_times=0.2, negative_samples=5, alpha=0.025,
+              batch=128, group=1, steps_per_call=32, hoist=2,
+              verbose=False)
+    m = LINE(g, seed=0)
+    m.init(dim=16, order=2)
+    m.train(banded=True, band_size=BAND, use_pallas=True, **kw)
+    assert m.state["vertex"].shape == (g.n_vertices, 16)
+    assert np.isfinite(np.asarray(m.state["vertex"])).all()
+
+    def _auc(m):
+        wv = np.asarray(m.state["vertex"])
+        wv = wv / (np.linalg.norm(wv, axis=1, keepdims=True) + 1e-9)
+        src = np.repeat(np.arange(g.n_vertices), np.diff(g.indptr))
+        pos_s = (wv[src] * wv[g.indices]).sum(1)
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, g.n_vertices, 500)
+        b = rng.integers(0, g.n_vertices, 500)
+        neg_s = (wv[a] * wv[b]).sum(1)
+        return (pos_s[:, None] > neg_s[None, :]).mean()
+
+    auc_fused = _auc(m)
+    m2 = LINE(g, seed=0)
+    m2.init(dim=16, order=2)
+    m2.train(banded=True, band_size=BAND, use_pallas=False, **kw)
+    auc_plain = _auc(m2)
+    assert auc_fused > 0.8
+    assert abs(auc_fused - auc_plain) < 0.08, (auc_fused, auc_plain)
