@@ -124,6 +124,79 @@ def make_youtube_graph(path: str, n=1_100_000, e=3_000_000, n_comm=100,
         np.savetxt(f, np.stack([src, dst], 1), fmt="u%d u%d 1")
 
 
+YT_N, YT_N_COMM, YT_SEED = 1_100_000, 100, 7
+
+
+def yt_labels() -> np.ndarray:
+    """Planted community labels of make_youtube_graph (by NAME index)."""
+    return np.random.default_rng(YT_SEED).integers(0, YT_N_COMM, YT_N)
+
+
+def yt_community_auc(emb_by_vid, names, n_pairs=200_000, seed=0) -> float:
+    """Cosine AUC: same-community pairs vs different (the structural
+    quality gate used by every YT-scale parity run)."""
+    lab_all = yt_labels()
+    vid_label = np.array([lab_all[int(nm[1:])] for nm in names])
+    x = emb_by_vid / (
+        np.linalg.norm(emb_by_vid, axis=1, keepdims=True) + 1e-9
+    )
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, len(x), n_pairs * 4)
+    b = rng.integers(0, len(x), n_pairs * 4)
+    same = vid_label[a] == vid_label[b]
+    s = (x[a] * x[b]).sum(1)
+    pos, neg = s[same][:n_pairs], s[~same][:n_pairs]
+    n = min(len(pos), len(neg), n_pairs)
+    return float((pos[:n, None] > neg[None, :2000]).mean())
+
+
+def reference_yt_auc40() -> float:
+    """Community-AUC of the reference's LINE o2 at the 40M gate budget
+    (cached; trains the reference ~140 s if no artifact exists)."""
+    cache = os.path.join(REF_DIR, "ref_yt_auc40.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["auc"]
+    out = "/tmp/yt_ref_line.txt"
+    if not os.path.exists(out):
+        measure_reference(YT_GRAPH_PATH, tag="_yt")  # ensures the build
+        subprocess.run(
+            [os.path.join(REF_DIR, "cli", "line"), "-train", YT_GRAPH_PATH,
+             "-save", out, "-order", "2", "-dimensions", str(DIM),
+             "-sample_times", "40", "-negative_samples", str(NEGS),
+             "-alpha", str(ALPHA), "-threads", str(os.cpu_count() or 1)],
+            check=True, capture_output=True)
+    names, rows = [], []
+    with open(out) as f:
+        f.readline()
+        for line in f:
+            p = line.split()
+            names.append(p[0])
+            rows.append(np.asarray(p[1:], dtype=np.float32))
+    auc = yt_community_auc(np.stack(rows), names)
+    with open(cache, "w") as f:
+        json.dump({"auc": auc}, f)
+    return auc
+
+
+def measure_ours_yt_quality() -> tuple:
+    """The in-bench YT quality gate (VERDICT r2 #1): train the DEFAULT
+    production config at the 40M gate budget and compare community-AUC
+    against the reference's at the same budget."""
+    from smore_tpu.graph.graph import Graph
+    from smore_tpu.models.line import LINE
+
+    g = Graph.load_edge_list(YT_GRAPH_PATH, undirected=True)
+    m = LINE(g, seed=0)
+    m.init(dim=DIM, order=2)
+    m.train(sample_times=40, negative_samples=NEGS, alpha=ALPHA,
+            verbose=False)
+    float(m.state["vertex"][0, 0])
+    ours = yt_community_auc(np.asarray(m.state["vertex"]), m.graph.names)
+    ref = reference_yt_auc40()
+    return ours, ref
+
+
 def measure_ours() -> float:
     from smore_tpu.graph.graph import Graph
     from smore_tpu.models.line import LINE
@@ -212,9 +285,13 @@ def main() -> None:
     ref_yt = measure_reference(YT_GRAPH_PATH, tag="_yt")
     small = measure_ours()
     yt = measure_ours_yt()
+    yt_auc, yt_ref_auc = measure_ours_yt_quality()
     # Primary metric = the BASELINE.json-designated workload (LINE o2 at
     # Youtube-links scale); the round-1 50k-graph numbers stay as
-    # secondary fields for cross-round comparability.
+    # secondary fields for cross-round comparability. The YT throughput
+    # number only COUNTS at quality parity, so the gate rides along:
+    # community-AUC of the default config at the 40M gate budget vs the
+    # reference's at the same budget (both on the identical graph).
     print(json.dumps({
         "metric": "edge_samples_per_sec_line_o2_dim64_neg5_youtube_scale",
         "value": round(yt),
@@ -222,6 +299,9 @@ def main() -> None:
         "vs_baseline": round(yt / ref_yt, 2),
         "small_graph_value": round(small),
         "small_graph_vs_baseline": round(small / ref_small, 2),
+        "yt_quality_gate_auc_40M": round(yt_auc, 4),
+        "yt_quality_gate_ref_auc_40M": round(yt_ref_auc, 4),
+        "yt_quality_gate_pass": bool(yt_auc >= yt_ref_auc - 0.03),
     }))
 
 

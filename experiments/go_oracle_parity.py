@@ -477,6 +477,11 @@ def run_kg(which):
     print(f"[{which}] {kg.n_triples} triples, {kg.n_entities} entities, "
           f"epochs={epochs}", flush=True)
 
+    # Dim convention: Go's rotate/complex "dim" counts TOTAL real dims
+    # (complex dim = dim/2, rotate.go:50); OUR RotatE/ComplEx init(dim)
+    # takes the COMPLEX dim (entities are (N, 2*dim) re|im). Matched
+    # arms therefore use cdim complex dims on both sides.
+    cdim = DIM // 2
     t0 = time.time()
     if which == "transe":
         oe, orl = oracle_transe(kg, epochs, alpha)
@@ -498,7 +503,7 @@ def run_kg(which):
                                kg.n_entities)
 
     t0 = time.time()
-    ours.init(dim=DIM)
+    ours.init(dim=DIM if which == "transe" else cdim)
     ours.train(epochs=epochs, batch=1024, alpha=alpha, verbose=False)
     t_ours = time.time() - t0
     st = {k: np.asarray(v) for k, v in ours.state.items()}
@@ -509,7 +514,6 @@ def run_kg(which):
             e[h] + rl[r] - e[t], axis=-1)
     elif which == "rotate":
         e, ph = st["entity"], st["relation"]
-        cdim = DIM // 2
 
         def usc(h, r, t):
             hr, hi = e[h][:, :cdim], e[h][:, cdim:]
@@ -520,7 +524,6 @@ def run_kg(which):
             return -np.sqrt((dr * dr + di * di).sum(-1))
     else:
         e, rl = st["entity"], st["relation"]
-        cdim = DIM // 2
 
         def usc(h, r, t):
             hr, hi = e[h][:, :cdim], e[h][:, cdim:]
@@ -573,7 +576,7 @@ def run_ctdne():
 
     path = make_temporal("/tmp/oracle_temporal.txt")
     tg = TemporalGraph.load_edge_list(path)
-    wt, ws, win, negs, alpha, tw = 4, 12, 3, 5, 0.025, 20.0
+    wt, ws, win, negs, alpha, tw = 16, 20, 5, 5, 0.025, 20.0
     labels_by_vid = np.array(
         [int(nm[1:]) // 150 for nm in tg.names])
     print(f"[ctdne] {tg.n_vertices} nodes, {tg.n_edges} temporal edges",
@@ -604,7 +607,7 @@ def run_mp2v():
     path = make_hetero("/tmp/oracle_hetero.txt")
     hg = HeteroGraph.load_edge_list(path, undirected=True)
     mp = ["author", "paper", "author"]
-    wt, ws, win, negs, alpha = 4, 10, 3, 5, 0.025
+    wt, ws, win, negs, alpha = 16, 16, 5, 5, 0.025
     # author a{i} topic = i // 80; papers/venues by their own prefix
     labels = np.zeros(hg.n_vertices, dtype=np.int64)
     author_rows = []

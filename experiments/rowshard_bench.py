@@ -68,11 +68,15 @@ def main():
     mesh = make_mesh(min(8, len(jax.devices())))
     print(f"devices: {len(jax.devices())}, mesh: {mesh.devices.shape}")
     print(f"{'n_vertices':>10} {'single ms':>10} {'dp ms':>10} {'rows ms':>10}")
-    for n in (20_000, 100_000, 400_000):
+    sizes = [int(a) for a in sys.argv[1:]] or [20_000, 100_000, 400_000]
+    for n in sizes:
+        # fewer timed calls at the 1.1M scale (absolute CPU-mesh time is
+        # not the point; the scaling row is)
+        calls = 3 if n > 500_000 else 6
         g = make_graph(n, 4 * n)
-        single = timed_run(g, None, None)
-        dp = timed_run(g, mesh, "dp")
-        rows = timed_run(g, mesh, "rows")
+        single = timed_run(g, None, None, calls=calls)
+        dp = timed_run(g, mesh, "dp", calls=calls)
+        rows = timed_run(g, mesh, "rows", calls=calls)
         print(f"{n:>10} {single:>10.2f} {dp:>10.2f} {rows:>10.2f}", flush=True)
 
 

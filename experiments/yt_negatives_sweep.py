@@ -47,9 +47,14 @@ def main():
     make_youtube_graph(YT)
     args = sys.argv[1:]
     budget = int(args[0]) if args else 120
-    ks_list = [int(a) for a in args[1:]] or [128, 512, 2048]
-    for ks in ks_list:
-        run(budget, ks)
+    # "Ks" or "Ks:batch" arms
+    arms = args[1:] or ["128", "512", "2048"]
+    for arm in arms:
+        if ":" in arm:
+            ks, b = arm.split(":")
+            run(budget, int(ks), batch=int(b))
+        else:
+            run(budget, int(arm))
 
 
 if __name__ == "__main__":

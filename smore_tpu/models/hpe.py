@@ -89,10 +89,13 @@ class HPE(PairModelBase):
         def update(state, x, alpha):
             src, pos, negs, cv, cc, cmask = x
             wv, wc = state["vertex"], state["context"]
-            # community: v1 vs walk-extended contexts of v2, with L2
+            # community: v1 vs walk-extended contexts of v2, with L2.
+            # cv is repeat-layout (each v1 repeated S times), so the
+            # vertex-side gather/scatter shrinks by src_group=S.
             wv, wc, l1 = sgns_shared_negs_step(
                 wv, wc, cv, cc, negs, alpha, k_equiv=negatives,
                 mask=cmask, reg=reg, collision=collision,
+                src_group=S if S > 1 else 1,
             )
             # reversed plain pair (v2 -> v1), no L2 (UpdatePair)
             wv, wc, l2 = sgns_shared_negs_step(
@@ -131,16 +134,19 @@ class HPE(PairModelBase):
         negative_samples: int = 5,
         reg: float = 0.01,
         alpha: float = 0.025,
-        batch: int = 4096,
+        batch: int = 8192,
         steps_per_call: int = 64,
         shared_negatives: int = 256,
         collision: str = "sum",
-        hoist: int = 1,  # mega-draw for N batches (identical law; see
-        # models/line.py). Off by default until measured on hardware.
+        hoist: int = 0,  # mega-draw for N batches (identical law; see
+        # models/line.py). 0 = auto: 8 single-stream (draw amortization,
+        # experiments/hoist_breadth.py), 1 otherwise.
         verbose: bool = True,
     ) -> None:
         self.walk_steps = walk_steps
         self.reg = reg
+        if hoist == 0:
+            hoist = 8
         batch = clamp_batch(self.graph.n_vertices, batch)
         driver = TrainDriver(
             self._make_step(batch, negative_samples, shared_negatives,

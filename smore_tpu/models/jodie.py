@@ -29,19 +29,17 @@ import numpy as np
 
 from smore_tpu.graph.bipartite import InteractionGraph
 from smore_tpu.io.embeddings import save_embeddings
+from smore_tpu.ops.rnn import init_rnn_cell, rnn_forward
 
 
 def _rnn_params(key, in_dim, hid, scale=0.1):
-    k1, k2 = jax.random.split(key)
-    return {
-        "Wh": jax.random.uniform(k1, (hid, hid), minval=-scale, maxval=scale),
-        "Wx": jax.random.uniform(k2, (hid, in_dim), minval=-scale, maxval=scale),
-        "b": jnp.zeros((hid,)),
-    }
+    # standalone cell (ops/rnn.py = the reference's pkg/rnn); JODIE uses
+    # the tighter 0.1 init its quality gates were tuned at
+    return init_rnn_cell(key, in_dim, hid, scale=scale)
 
 
 def _rnn_forward(p, h, x):
-    return jnp.tanh(p["Wh"] @ h + p["Wx"] @ x + p["b"])
+    return rnn_forward(p, h, x)
 
 
 class JODIE:

@@ -42,7 +42,7 @@ from smore_tpu.ops.update import (
 )
 
 # XLA random-row scatter-adds keep their small-table cost up to ~131k
-# rows and jump ~5x above ~262k (experiments/band_probe.py); banded
+# rows and jump ~5x above ~262k (experiments/probes/band_probe.py); banded
 # stratified updates (sampling/banded.py) restore small-table cost at any
 # scale, so they engage automatically past the cliff.
 BANDED_AUTO_THRESHOLD = 262_144

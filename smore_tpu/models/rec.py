@@ -22,7 +22,16 @@ from smore_tpu.models.base import (
     TrainDriver,
     init_embedding,
 )
-from smore_tpu.ops.update import bpr_step, mf_step, skewbpr_step, warp_step
+from smore_tpu.ops.update import (
+    bpr_shared_negs_step,
+    bpr_step,
+    mf_shared_negs_step,
+    mf_step,
+    skewbpr_shared_negs_step,
+    skewbpr_step,
+    warp_shared_pool_step,
+    warp_step,
+)
 
 
 class _SharedTableRec(PairModelBase):
@@ -39,43 +48,70 @@ class _SharedTableRec(PairModelBase):
     def _kernel(self, state, tables, src, pos, negs, key, alpha):
         raise NotImplementedError
 
+    def _shared_kernel(self, state, src, pos, pool, extra, alpha,
+                       collision):
+        """Shared-pool fast path (Ks negatives per step on the MXU);
+        ``extra`` carries WARP's per-sample trial indices."""
+        raise NotImplementedError
+
     def _n_negs(self) -> int:
         raise NotImplementedError
 
-    def _make_step(self, batch: int, collision: str, hoist: int = 1):
-        R = self._n_negs()
+    def _needs_trials(self) -> bool:
+        return False  # WARP overrides
 
-        def draw(tables, key, n):
-            k1, k2, k3 = jax.random.split(key, 3)
+    def _make_step(self, batch: int, collision: str, hoist: int = 1,
+                   shared_negatives: int = 0):
+        R = self._n_negs()
+        Ks = shared_negatives
+
+        def draw(tables, key, m):
+            """Draws for ``m`` consecutive batches in one shot."""
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            n = m * batch
             if tables.has_edge_table:
                 # one-gather joint (user, item) draw, same two-stage law
                 src, pos = tables.edge_sample(k1, (n,))
             else:
                 src = tables.source_sample(k1, (n,))
                 pos = tables.target_sample(k2, src)
-            negs = tables.negative_sample(k3, (n, R))
-            return src, pos, negs
+            src = src.reshape(m, batch)
+            pos = pos.reshape(m, batch)
+            if Ks:
+                negs = tables.negative_sample(k3, (m, Ks))
+                if self._needs_trials():
+                    extra = jax.random.randint(
+                        k4, (m, batch, R), 0, Ks, dtype=jnp.int32
+                    )
+                else:
+                    extra = jnp.zeros((m, 1), jnp.int32)
+            else:
+                negs = tables.negative_sample(k3, (m, batch, R))
+                extra = jnp.zeros((m, 1), jnp.int32)
+            return src, pos, negs, extra
+
+        def update(st, x, a):
+            src, pos, negs, extra = x
+            if Ks:
+                w, loss = self._shared_kernel(
+                    st, src, pos, negs, extra, a, collision
+                )
+            else:
+                w, loss = self._kernel(st, src, pos, negs, a, collision)
+            return {"vertex": w}, loss
 
         if hoist > 1:
             # mega-draw for ``hoist`` batches then an inner scan --
             # identical law (iid draws, state-independent; the same
             # transform as LINE's hoist, models/line.py)
-            def hdraw(tables, key):
-                src, pos, negs = draw(tables, key, hoist * batch)
-                return (src.reshape(hoist, batch),
-                        pos.reshape(hoist, batch),
-                        negs.reshape(hoist, batch, R))
-
-            def update(st, x, a):
-                w, loss = self._kernel(st, x[0], x[1], x[2], a, collision)
-                return {"vertex": w}, loss
-
-            return hoisted_scan_step(hdraw, update, hoist)
+            return hoisted_scan_step(
+                lambda tables, key: draw(tables, key, hoist),
+                update, hoist,
+            )
 
         def step(state, tables, key, alpha):
-            src, pos, negs = draw(tables, key, batch)
-            w, loss = self._kernel(state, src, pos, negs, alpha, collision)
-            return {"vertex": w}, loss
+            x = draw(tables, key, 1)
+            return update(state, tuple(a[0] for a in x), alpha)
 
         return step
 
@@ -86,9 +122,14 @@ class _SharedTableRec(PairModelBase):
         batch: int = 8192,
         steps_per_call: int = 128,
         collision: str = "sum",
-        hoist: int = 1,  # draws for N batches as one mega-draw before an
-        # inner scan (identical law; see models/line.py). Off by default
-        # until measured per-model; single-stream configs only.
+        hoist: int = 0,  # draws for N batches as one mega-draw before an
+        # inner scan (identical law; see models/line.py). 0 = auto: 8 on
+        # the shared-pool single-stream path, else 1.
+        shared_negatives: int = 256,  # Ks-row shared negative pool per
+        # step, scored against every sample on the MXU with k_equiv/Ks
+        # scaling (ops/update.py shared-pool rec kernels) -- the same
+        # expectation-preserving transform as LINE's shared negatives.
+        # 0 = the reference's per-sample fresh negatives.
         mesh=None,
         verbose: bool = True,
         **kw,
@@ -98,10 +139,14 @@ class _SharedTableRec(PairModelBase):
                 raise TypeError(f"unknown train arg {k!r}")
             setattr(self, k, v)
         batch = clamp_batch(self.graph.n_vertices, batch)
+        if shared_negatives:
+            shared_negatives = min(shared_negatives, batch)
         if mesh is not None:
             hoist = 1  # DP merges per-device deltas every step
+        elif hoist == 0:
+            hoist = 8 if shared_negatives else 1
         driver = TrainDriver(
-            self._make_step(batch, collision, hoist),
+            self._make_step(batch, collision, hoist, shared_negatives),
             ctx=self.build_sampler(),
             samples_per_step=batch * hoist,
             alpha=alpha,
@@ -133,6 +178,15 @@ class MF(_SharedTableRec):
         )
         return w, loss
 
+    def _shared_kernel(self, state, src, pos, pool, extra, alpha,
+                       collision):
+        w, _, loss = mf_shared_negs_step(
+            state["vertex"], state["vertex"], src, pos, pool, alpha,
+            k_equiv=self.negative_samples, reg=self.reg,
+            shared_table=True, collision=collision,
+        )
+        return w, loss
+
 
 class BPR(_SharedTableRec):
     """Bayesian personalized ranking via UpdateBPRPair
@@ -152,6 +206,14 @@ class BPR(_SharedTableRec):
         )
         return w, loss
 
+    def _shared_kernel(self, state, src, pos, pool, extra, alpha,
+                       collision):
+        w, _, loss = bpr_shared_negs_step(
+            state["vertex"], state["vertex"], src, pos, pool, alpha,
+            k_equiv=self.rounds, shared_table=True, collision=collision,
+        )
+        return w, loss
+
 
 class WARP(_SharedTableRec):
     """WSABIE k-order ranking via UpdateWARPPair (proNet.cpp:1353-1404;
@@ -168,6 +230,17 @@ class WARP(_SharedTableRec):
         w, _, loss = warp_step(
             state["vertex"], state["vertex"], src, pos, negs, alpha,
             shared_table=True, collision=collision,
+        )
+        return w, loss
+
+    def _needs_trials(self):
+        return True
+
+    def _shared_kernel(self, state, src, pos, pool, extra, alpha,
+                       collision):
+        w, _, loss = warp_shared_pool_step(
+            state["vertex"], state["vertex"], src, pos, pool, extra,
+            alpha, shared_table=True, collision=collision,
         )
         return w, loss
 
@@ -192,5 +265,14 @@ class SkewOPT(_SharedTableRec):
             state["vertex"], state["vertex"], src, pos, negs, alpha,
             xi=self.xi, omega=self.omega, eta=self.eta,
             shared_table=True, collision=collision,
+        )
+        return w, loss
+
+    def _shared_kernel(self, state, src, pos, pool, extra, alpha,
+                       collision):
+        w, _, loss = skewbpr_shared_negs_step(
+            state["vertex"], state["vertex"], src, pos, pool, alpha,
+            k_equiv=self.rounds, xi=self.xi, omega=self.omega,
+            eta=self.eta, shared_table=True, collision=collision,
         )
         return w, loss

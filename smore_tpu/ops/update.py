@@ -255,7 +255,10 @@ def sgns_shared_negs_step(
     Ks = negs.shape[0]
     B = src.shape[0]
     if src_group > 1:
-        assert mask is None and B % src_group == 0
+        # mask IS allowed with grouping: every per-pair term (g_pos,
+        # g_neg, the reg shrink) is masked before the segment sum, so
+        # the grouped source delta equals the per-pair sum exactly.
+        assert B % src_group == 0
         src_small = src[::src_group]
         v_small = w_vertex.at[src_small].get(mode="promise_in_bounds")
         v = jnp.repeat(v_small, src_group, axis=0)
@@ -596,6 +599,235 @@ def skewbpr_step(
 
 
 # --------------------------------------------------------------------- #
+# SHARED-POOL rec kernels (round 3, VERDICT r2 #6). The per-sample rec
+# kernels above gather/scatter (1 + R) context rows PER SAMPLE (R = 5
+# BPR rounds / 32 WARP trials), which caps the family at ~3 M samples/s
+# while LINE's shared-negative MXU form runs 27 M. These variants draw
+# ONE pool of Ks negatives per step and score every sample against the
+# whole pool on the MXU, scaling gradients by k_equiv/Ks -- the same
+# expectation-preserving transform as sgns_shared_negs_step (each
+# negative term is an independent draw from the negative law, so
+# E_pool[update] == E_fresh[update]; within-step correlation is the only
+# change). Quality is gated by experiments/bpr_parity.py AUC/recall@10.
+# --------------------------------------------------------------------- #
+def bpr_shared_negs_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    user: jnp.ndarray,  # (B,)
+    pos: jnp.ndarray,  # (B,)
+    negs: jnp.ndarray,  # (Ks,) shared pool
+    alpha: jnp.ndarray,
+    k_equiv: int = 5,  # the reference's 5 rounds (UpdateBPRPair)
+    reg_ctx: float = 0.0025,
+    reg_vtx: float = 0.025,
+    shared_table: bool = False,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    v = w_vertex.at[user].get(mode="promise_in_bounds")  # (B, D)
+    ci = w_context.at[pos].get(mode="promise_in_bounds")
+    cn = w_context.at[negs].get(mode="promise_in_bounds")  # (Ks, D)
+    B = user.shape[0]
+    Ks = negs.shape[0]
+
+    f_i = jnp.einsum("bd,bd->b", v, ci)
+    f_j = jnp.dot(v, cn.T, preferred_element_type=jnp.float32)  # (B, Ks)
+    g = jax.nn.sigmoid(f_j - f_i[:, None]) * (alpha * (k_equiv / Ks))
+
+    ar_c = alpha * reg_ctx
+    gs = jnp.sum(g, axis=1)  # (B,)
+    d_ci = gs[:, None] * v - ar_c * k_equiv * ci
+    d_cn = -jnp.dot(g.T, v, preferred_element_type=jnp.float32) - (
+        ar_c * (B * k_equiv / Ks)
+    ) * cn
+    d_v = gs[:, None] * ci - jnp.dot(
+        g, cn, preferred_element_type=jnp.float32
+    ) - alpha * reg_vtx * v
+
+    w_vertex, w_context = apply_two_tables(
+        w_vertex, w_context,
+        [(user, d_v, None)],
+        [(pos, d_ci, None), (negs, d_cn, None)],
+        shared_table=shared_table, collision=collision,
+    )
+    loss = jnp.mean(jax.nn.softplus(f_j - f_i[:, None]))
+    return w_vertex, w_context, loss
+
+
+def mf_shared_negs_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    src: jnp.ndarray,
+    pos: jnp.ndarray,
+    negs: jnp.ndarray,  # (Ks,)
+    alpha: jnp.ndarray,
+    k_equiv: int = 5,
+    reg: float = 0.01,
+    shared_table: bool = False,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared-pool form of mf_step (UpdateFactorizedPair law)."""
+    v = w_vertex.at[src].get(mode="promise_in_bounds")
+    cp = w_context.at[pos].get(mode="promise_in_bounds")
+    cn = w_context.at[negs].get(mode="promise_in_bounds")
+    B = src.shape[0]
+    Ks = negs.shape[0]
+
+    g_pos = (1.0 - jnp.einsum("bd,bd->b", v, cp)) * alpha
+    g_neg = (
+        0.0 - jnp.dot(v, cn.T, preferred_element_type=jnp.float32)
+    ) * (alpha * (k_equiv / Ks))
+
+    ar = alpha * reg
+    d_src = (
+        g_pos[:, None] * cp
+        + jnp.dot(g_neg, cn, preferred_element_type=jnp.float32)
+        - ar * (1 + k_equiv) * v
+    )
+    d_pos = g_pos[:, None] * v - ar * cp
+    d_cn = jnp.dot(
+        g_neg.T, v, preferred_element_type=jnp.float32
+    ) - ar * (B * k_equiv / Ks) * cn
+
+    w_vertex, w_context = apply_two_tables(
+        w_vertex, w_context,
+        [(src, d_src, None)],
+        [(pos, d_pos, None), (negs, d_cn, None)],
+        shared_table=shared_table, collision=collision,
+    )
+    loss = jnp.mean(g_pos**2) / jnp.maximum(alpha, 1e-12) ** 2
+    return w_vertex, w_context, loss
+
+
+def warp_shared_pool_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    user: jnp.ndarray,  # (B,)
+    pos: jnp.ndarray,  # (B,)
+    negs: jnp.ndarray,  # (Ks,) shared candidate pool
+    trial_idx: jnp.ndarray,  # (B, T) random indices into the pool --
+    # per-sample trial sequence (fresh uniform ints are cheap; only the
+    # POOL rows are gathered)
+    alpha: jnp.ndarray,
+    reg: float = 0.0025,
+    shared_table: bool = False,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared-pool form of warp_step: score the whole pool on the MXU,
+    then walk each sample's T-trial sequence through the pool scores and
+    update with the FIRST margin violator (UpdateWARPPair law)."""
+    v = w_vertex.at[user].get(mode="promise_in_bounds")
+    ci = w_context.at[pos].get(mode="promise_in_bounds")
+    cn = w_context.at[negs].get(mode="promise_in_bounds")  # (Ks, D)
+
+    f_i = jnp.einsum("bd,bd->b", v, ci)  # (B,)
+    f_pool = jnp.dot(v, cn.T, preferred_element_type=jnp.float32)
+    f_trials = jnp.take_along_axis(f_pool, trial_idx, axis=1)  # (B, T)
+    violated = (f_i[:, None] - f_trials) < 1.0
+    any_viol = jnp.any(violated, axis=1)
+    first = jnp.argmax(violated, axis=1)
+    k_sel = jnp.take_along_axis(trial_idx, first[:, None], axis=1)[:, 0]
+    j = negs.at[k_sel].get(mode="promise_in_bounds")  # (B,) global vid
+    cjf = cn.at[k_sel].get(mode="promise_in_bounds")  # (B, D)
+
+    diff = ci - cjf
+    fsel = jnp.einsum("bd,bd->b", v, diff)
+    act = any_viol.astype(w_vertex.dtype)
+    g = jax.nn.sigmoid(-fsel) * alpha * act
+
+    ar = alpha * reg
+    d_v = g[:, None] * diff - ar * v * act[:, None]
+    d_ci = g[:, None] * v - ar * ci * act[:, None]
+    d_cj = -g[:, None] * v - ar * cjf * act[:, None]
+
+    w_vertex, w_context = apply_two_tables(
+        w_vertex, w_context,
+        [(user, d_v, act)],
+        [(pos, d_ci, act), (j, d_cj, act)],
+        shared_table=shared_table, collision=collision,
+    )
+    loss = jnp.sum(jax.nn.relu(1.0 - fsel) * act) / jnp.maximum(
+        jnp.sum(act), 1.0
+    )
+    return w_vertex, w_context, loss
+
+
+def skewbpr_shared_negs_step(
+    w_vertex: jnp.ndarray,
+    w_context: jnp.ndarray,
+    user: jnp.ndarray,
+    pos: jnp.ndarray,
+    negs: jnp.ndarray,  # (Ks,) shared pool
+    alpha: jnp.ndarray,
+    k_equiv: int = 16,  # UpdateSBPRPair's 16 rounds
+    xi: float = 0.0,
+    omega: float = 1.0,
+    eta: int = 1,
+    reg: float = 0.01,
+    shared_table: bool = False,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared-pool Skew-OPT: each of the reference's k_equiv sequential
+    rounds is taken in EXPECTATION over the pool (weight 1/Ks), with the
+    positive row still evolving across rounds like the reference's
+    in-place updates (skewbpr_step's scan)."""
+    v = w_vertex.at[user].get(mode="promise_in_bounds")
+    ci0 = w_context.at[pos].get(mode="promise_in_bounds")
+    cn = w_context.at[negs].get(mode="promise_in_bounds")  # (Ks, D)
+    B = user.shape[0]
+    Ks = negs.shape[0]
+    ar = alpha * reg
+    f_cn = jnp.dot(v, cn.T, preferred_element_type=jnp.float32)  # (B,Ks)
+
+    def round_fn(carry, _):
+        ci_cur, ev, n_succ, d_cn_acc, loss_acc = carry
+        x = jnp.einsum("bd,bd->b", v, ci_cur)[:, None] - f_cn  # (B, Ks)
+        t = (x - xi) / omega
+        succ = (t <= 2.0).astype(w_vertex.dtype)
+        t = jnp.clip(t, -2.0, None)
+        chain = jnp.ones_like(t) if eta == 1 else t ** (eta - 1)
+        g = jax.nn.sigmoid(-(t**eta)) * chain / omega * alpha * succ
+        w_pool = 1.0 / Ks
+        succ_b = jnp.sum(succ, axis=1) * w_pool  # expected succ per round
+        g_sum = jnp.sum(g, axis=1) * w_pool
+        ci_next = ci_cur + (
+            -ar * ci_cur * succ_b[:, None] + g_sum[:, None] * v
+        )
+        d_cn_acc = d_cn_acc - w_pool * (
+            jnp.dot(g.T, v, preferred_element_type=jnp.float32)
+            + ar * jnp.sum(succ, axis=0)[:, None] * cn
+        )
+        ev = ev + g_sum[:, None] * ci_cur - w_pool * jnp.dot(
+            g, cn, preferred_element_type=jnp.float32
+        )
+        return (
+            ci_next, ev, n_succ + succ_b,
+            d_cn_acc, loss_acc + jnp.mean(jax.nn.softplus(-x)),
+        ), None
+
+    init = (
+        ci0, jnp.zeros_like(ci0),
+        jnp.zeros(B, dtype=w_vertex.dtype),
+        jnp.zeros_like(cn), jnp.zeros((), dtype=w_vertex.dtype),
+    )
+    (ci_fin, ev, n_succ, d_cn, loss_acc), _ = jax.lax.scan(
+        round_fn, init, None, length=k_equiv
+    )
+    any_succ = (n_succ > 0).astype(w_vertex.dtype)
+    d_ci = ci_fin - ci0
+    d_v = (
+        ev / jnp.maximum(n_succ, 1.0)[:, None]
+        - ar * v * any_succ[:, None]
+    )
+    w_vertex, w_context = apply_two_tables(
+        w_vertex, w_context,
+        [(user, d_v, None)],
+        [(pos, d_ci, None), (negs, d_cn, None)],
+        shared_table=shared_table, collision=collision,
+    )
+    return w_vertex, w_context, loss_acc / k_equiv
+
+
+# --------------------------------------------------------------------- #
 # PU (positive-unlabeled) variants. Reference Opt_PUSGD (proNet.cpp:1249),
 # Opt_PUSigmoidSGD (proNet.cpp:1279), Opt_PUBPRSGD (proNet.cpp:1033).
 # These are experimental kernels in the reference (no shipped CLI uses
@@ -923,7 +1155,7 @@ def fbpr_step(
 #
 # Above ~262k rows an XLA random-row scatter-add costs ~5x its small-table
 # price (per-row, table-size-bound; bf16/unique hints don't help --
-# experiments/band_probe.py). The banded step therefore receives a batch
+# experiments/probes/band_probe.py). The banded step therefore receives a batch
 # whose positive contexts all lie in ONE band of rows (drawn band-
 # stratified by BandedTables.draw_banded_batch, which preserves the exact
 # reference edge-sample law -- see smore_tpu/sampling/banded.py), slices

@@ -1,6 +1,6 @@
 """Band-stratified edge sampling: the large-table TPU fast path.
 
-Motivation (measured, experiments/band_probe.py): an XLA scatter-add of B
+Motivation (measured, experiments/probes/band_probe.py): an XLA scatter-add of B
 random rows costs ~0.5 ms/step while the target table is <= 131k rows and
 ~5x that above 262k rows -- the per-row cost is table-size-bound, not
 byte- or locality-bound (bf16 rows and unique-index hints don't help).
@@ -68,7 +68,7 @@ _EDGE_COLS = 8
 # pathologically slow when the table's row count has a large 2-adic
 # factor (measured: a 4k-row scatter into 950,272 = 29*2^15 rows costs
 # ~2 ms vs ~0.35 ms into 921,878; pure 2^19 = 524,288 is the worst case
-# -- experiments/banded_debug3.py / band_probe.py). Since banding pads
+# -- experiments/probes/banded_debug3.py / band_probe.py). Since banding pads
 # the table to n_bands * band_size, the band size must carry the
 # de-aliasing: 32776 = 8 * 17 * 241.
 DEFAULT_BAND_SIZE = 32776

@@ -130,3 +130,100 @@ def test_hoprec_negatives_field_matched(ui_graph, ui_fields):
         jax.random.PRNGKey(1), jnp.zeros((512,), dtype=jnp.int32)
     )
     assert np.all(fids[np.asarray(draws0)] == 0)
+
+
+# ------------------------------------------------------------------ #
+# Shared-pool rec kernels (round 3): equivalence + e2e
+# ------------------------------------------------------------------ #
+def test_bpr_shared_pool_equals_broadcast_per_sample():
+    """With every sample given the SAME negatives (pool broadcast) and
+    k_equiv = Ks, the shared-pool kernel must equal bpr_step exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from smore_tpu.ops.update import bpr_shared_negs_step, bpr_step
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    N, D, B, Ks = 64, 8, 32, 8
+    w = jax.random.normal(k1, (N, D)) * 0.1
+    user = jax.random.randint(k2, (B,), 0, N)
+    pos = jax.random.randint(k3, (B,), 0, N)
+    pool = jax.random.randint(k4, (Ks,), 0, N)
+    alpha = jnp.float32(0.05)
+
+    ref, _, _ = bpr_step(
+        w, w, user, pos, jnp.broadcast_to(pool, (B, Ks)), alpha,
+        shared_table=True,
+    )
+    got, _, _ = bpr_shared_negs_step(
+        w, w, user, pos, pool, alpha, k_equiv=Ks, shared_table=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_mf_shared_pool_equals_broadcast_per_sample():
+    import jax
+    import jax.numpy as jnp
+
+    from smore_tpu.ops.update import mf_shared_negs_step, mf_step
+
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    N, D, B, Ks = 64, 8, 32, 8
+    w = jax.random.normal(k1, (N, D)) * 0.1
+    src = jax.random.randint(k2, (B,), 0, N)
+    pos = jax.random.randint(k3, (B,), 0, N)
+    pool = jax.random.randint(k4, (Ks,), 0, N)
+    alpha = jnp.float32(0.05)
+
+    ref, _, _ = mf_step(
+        w, w, src, pos, jnp.broadcast_to(pool, (B, Ks)), alpha,
+        shared_table=True,
+    )
+    got, _, _ = mf_shared_negs_step(
+        w, w, src, pos, pool, alpha, k_equiv=Ks, shared_table=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_warp_shared_pool_equals_gathered_trials():
+    """warp_shared_pool_step(pool, trial_idx) == warp_step on the
+    gathered trial matrix pool[trial_idx]."""
+    import jax
+    import jax.numpy as jnp
+
+    from smore_tpu.ops.update import warp_shared_pool_step, warp_step
+
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    N, D, B, Ks, T = 64, 8, 32, 16, 6
+    w = jax.random.normal(k1, (N, D)) * 0.5
+    user = jax.random.randint(k2, (B,), 0, N)
+    pos = jax.random.randint(k3, (B,), 0, N)
+    pool = jax.random.randint(k4, (Ks,), 0, N)
+    trial = jax.random.randint(k5, (B, T), 0, Ks)
+    alpha = jnp.float32(0.05)
+
+    ref, _, _ = warp_step(
+        w, w, user, pos, pool[trial], alpha, shared_table=True,
+    )
+    got, _, _ = warp_shared_pool_step(
+        w, w, user, pos, pool, trial, alpha, shared_table=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("cls,kw", [
+    (MF, {}), (BPR, {}), (WARP, {}),
+    (SkewOPT, dict(xi=0.0, omega=1.0, eta=1)),
+])
+def test_rec_per_sample_path_still_learns(ui_graph, cls, kw):
+    """shared_negatives=0 selects the reference's per-sample form."""
+    m = cls(ui_graph, seed=0, **kw)
+    m.init(dim=16)
+    m.train(shared_negatives=0, **KW)
+    assert _pref_gap(m) > 0.05
