@@ -233,18 +233,18 @@ def measure_ours_yt() -> float:
     g = Graph.load_edge_list(YT_GRAPH_PATH, undirected=True)
     m = LINE(g, seed=0)
     m.init(dim=DIM, order=2)
+    # batch stays auto: the fused banded path picks its own batch (the
+    # coverage-matched 16384); rate = requested samples / wall, a
+    # conservative floor (the driver rounds work UP to whole jit calls)
     m.train(sample_times=1, negative_samples=NEGS, alpha=ALPHA,
-            batch=BATCH, steps_per_call=12800, verbose=False)
+            steps_per_call=12800, verbose=False)
     float(m.state["vertex"][0, 0])
-    spc = 12800
     t0 = time.time()
     m.train(sample_times=OUR_SAMPLE_TIMES, negative_samples=NEGS,
-            alpha=ALPHA, batch=BATCH, steps_per_call=spc, verbose=False)
+            alpha=ALPHA, steps_per_call=12800, verbose=False)
     float(m.state["vertex"][0, 0])
     dt = time.time() - t0
-    steps = -(-OUR_SAMPLE_TIMES * 1_000_000 // BATCH)
-    calls = -(-steps // spc)
-    return calls * spc * BATCH / dt
+    return OUR_SAMPLE_TIMES * 1_000_000 / dt
 
 
 def measure_reference(graph_path: str = GRAPH_PATH, tag: str = "") -> float:

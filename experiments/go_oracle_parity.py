@@ -36,12 +36,22 @@ Run:  python experiments/go_oracle_parity.py [transe rotate complex sne
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+
+if os.environ.get("ORACLE_CPU", "1") != "0":
+    # JAX_PLATFORMS=cpu is stomped by the axon plugin; the config update
+    # after import is the working override (verify skill gotchas). The
+    # matched-budget QUALITY comparison doesn't need TPU speed, and
+    # keeping these arms off the tunnel avoids contending with benches.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 DIM = 32
 SEED = 5
@@ -252,7 +262,7 @@ def oracle_rotate(kg, epochs, alpha, margin=6.0, temp=1.0):
     return ent, rel
 
 
-def oracle_complex(kg, epochs, alpha, margin=1.0):
+def oracle_complex(kg, epochs, alpha, margin=1.0, negs=10):
     rng = np.random.default_rng(SEED + 3)
     n, m = kg.n_entities, kg.n_relations
     cd = DIM // 2
@@ -276,18 +286,23 @@ def oracle_complex(kg, epochs, alpha, margin=1.0):
     for _ in range(epochs):
         for i in rng.permutation(len(H)):
             h, r, t = H[i], R[i], T[i]
-            nh, nt = _corrupt(kg, rng, h, r, t)
-            ps, ns = score(h, r, t), score(nh, r, nt)
-            if margin + ns - ps > 0:  # complex.go:241-249
-                for (hh, tt, sgn) in ((h, t, -1.0), (nh, nt, 1.0)):
-                    gh = rel[r] * np.conj(ent[tt])
-                    gr = ent[hh] * np.conj(ent[tt])
-                    gt = np.conj(ent[hh] * rel[r])
-                    ent[hh] -= alpha * sgn * gh
-                    rel[r] -= alpha * sgn * gr
-                    ent[tt] -= alpha * sgn * gt
-                    renorm(hh)
-                    renorm(tt)
+            ps = score(h, r, t)
+            # complex.go:225-252: negativeSamples (CLI default 10) fresh
+            # corruptions per positive, both triples updated on violation
+            for _ in range(negs):
+                nh, nt = _corrupt(kg, rng, h, r, t)
+                ns = score(nh, r, nt)
+                if margin + ns - ps > 0:
+                    for (hh, tt, sgn) in ((h, t, -1.0), (nh, nt, 1.0)):
+                        gh = rel[r] * np.conj(ent[tt])
+                        gr = ent[hh] * np.conj(ent[tt])
+                        gt = np.conj(ent[hh] * rel[r])
+                        ent[hh] -= alpha * sgn * gh
+                        rel[r] -= alpha * sgn * gr
+                        ent[tt] -= alpha * sgn * gt
+                        renorm(hh)
+                        renorm(tt)
+                    ps = score(h, r, t)
     return ent, rel
 
 
@@ -494,7 +509,9 @@ def run_kg(which):
             (np.abs(oe[h] * orl[r] - oe[t]) ** 2).sum(-1))
         ours = RotatE(kg, seed=0)
     else:
-        oe, orl = oracle_complex(kg, epochs, alpha)
+        # matched (triple, corruption) budgets: ours draws 1 corruption
+        # per triple per epoch; the Go loop draws negativeSamples=10
+        oe, orl = oracle_complex(kg, max(3, epochs // 10), alpha)
         osc = lambda h, r, t: (  # noqa: E731
             oe[h] * orl[r] * np.conj(oe[t])).real.sum(-1)
         ours = ComplEx(kg, seed=0)
@@ -607,7 +624,11 @@ def run_mp2v():
     path = make_hetero("/tmp/oracle_hetero.txt")
     hg = HeteroGraph.load_edge_list(path, undirected=True)
     mp = ["author", "paper", "author"]
-    wt, ws, win, negs, alpha = 16, 16, 5, 5, 0.025
+    # Go metapath cycling (hetero_graph.go:236-248) dead-ends an A-P-A
+    # walk at length 3 (the cycled next type after the 2nd author is
+    # 'author' again), so each walk yields only ~6 skip-gram pairs --
+    # walk_times carries the whole budget.
+    wt, ws, win, negs, alpha = 200, 16, 5, 5, 0.025
     # author a{i} topic = i // 80; papers/venues by their own prefix
     labels = np.zeros(hg.n_vertices, dtype=np.int64)
     author_rows = []

@@ -65,6 +65,11 @@ class _KGBase:
         """Batched score; LOWER = better fit unless _higher_is_better."""
         raise NotImplementedError
 
+    def _update_score(self, state, h, r, t):
+        """Score whose gradient is the APPLIED update direction; equals
+        _score unless the reference hand-derives a different step."""
+        return self._score(state, h, r, t)
+
     _higher_is_better = False
 
     def _init_state(self, key) -> Dict[str, jnp.ndarray]:
@@ -120,12 +125,26 @@ class _KGBase:
             pos = sign * self._score(state, h, r, t)
             neg = sign * self._score(state, nh, r, nt)
             w = self._adversarial_weight(neg)
+            gate = (margin + pos - neg) > 0
+            # The margin VIOLATION test always uses _score; the applied
+            # gradient comes from _update_score, which models override
+            # when the reference's hand-derived step is not the plain
+            # score gradient (RotatE's per-coordinate normalization,
+            # rotate.go:231-249).
+            pos_u = sign * self._update_score(state, h, r, t)
+            neg_u = sign * self._update_score(state, nh, r, nt)
+            term = pos_u - (
+                neg_u * jax.lax.stop_gradient(w) if w is not None else neg_u
+            )
             viol = jax.nn.relu(margin + pos - neg)
             if w is not None:
                 viol = viol * jax.lax.stop_gradient(w)
             # SUM, not mean: the reference applies each triple's update at
             # the full learning rate (hogwild mass; see ops/update.py).
-            return jnp.sum(viol), jnp.mean(viol > 0)
+            return (
+                jnp.sum(jnp.where(gate, term, 0.0)),
+                jnp.mean(jax.lax.stop_gradient(viol) > 0),
+            )
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -323,6 +342,25 @@ class RotatE(_KGBase):
         dr = hr * cr - hi * ci - tr
         di = hr * ci + hi * cr - ti
         return jnp.sqrt(jnp.sum(dr * dr + di * di, axis=-1) + 1e-12)
+
+    def _update_score(self, state, h, r, t):
+        """Sum of PER-COORDINATE complex moduli: its gradient is
+        diff_d / |diff_d| per coordinate -- the reference's normalized
+        step (rotate.go:231-249 divides each coordinate's gradient by
+        its own modulus), ~sqrt(dim) larger steps than the plain L2
+        score gradient at matched alpha. The margin test still uses the
+        L2 _score."""
+        dim = self.dim
+        e, ph = state["entity"], state["relation"]
+        he = e.at[h].get(mode="promise_in_bounds")
+        te = e.at[t].get(mode="promise_in_bounds")
+        hr, hi = he[:, :dim], he[:, dim:]
+        tr, ti = te[:, :dim], te[:, dim:]
+        p = ph.at[r].get(mode="promise_in_bounds")
+        cr, ci = jnp.cos(p), jnp.sin(p)
+        dr = hr * cr - hi * ci - tr
+        di = hr * ci + hi * cr - ti
+        return jnp.sum(jnp.sqrt(dr * dr + di * di + 1e-12), axis=-1)
 
     def _adversarial_weight(self, neg_score):
         if self.adversarial_temp <= 0:

@@ -214,12 +214,53 @@ class LINE(PairModelBase):
 
         return step
 
+    def _make_banded_multiblock_step(self, batch, negatives,
+                                     shared_negatives, hoist):
+        """Pipelined MULTI-band superstep (order-2, group=1): each of the
+        ``hoist`` micro-steps works its OWN band pair inside one Pallas
+        call; band blocks stream through the grid pipeline so the
+        fetch/write-back cost hides under compute. Keeps the
+        quality-critical per-stratum visit at ``batch`` samples (40M
+        gate: AUC 0.618@2048-visits vs 0.585@16384) without the fixed
+        per-micro-step costs that made small no-hold batches slow
+        (8.6 M/s at b=2048; see PERF_NOTES round-3 sections)."""
+        from smore_tpu.ops.pallas_sgns_banded import sgns_banded_multiblock
+
+        band_size = self.banded_tables.band_size
+        Ks = shared_negatives
+        _interp = jax.default_backend() == "cpu"
+
+        def step(state, bt, key, alphas):
+            sb, db, src, pos, negs = bt.draw_banded_batches_hoisted(
+                key, batch, 1, Ks, hoist
+            )
+            wv, wc = state["vertex"], state["context"]
+            D = wc.shape[1]
+            cn = wc.at[negs.reshape(-1)].get(
+                mode="promise_in_bounds"
+            ).reshape(hoist, Ks, D)
+            wv, wc, d_neg, loss_sum = sgns_banded_multiblock(
+                wv, wc, sb // band_size, db // band_size,
+                src - sb[:, None], pos - db[:, None], cn, alphas,
+                band_size=band_size, k_equiv=negatives,
+                interpret=_interp,
+            )
+            wc = wc.at[negs.reshape(-1)].add(
+                d_neg.reshape(-1, D), mode="promise_in_bounds"
+            )
+            return {"vertex": wv, "context": wc}, loss_sum / (hoist * batch)
+
+        return step
+
     def _make_banded_block_step(self, batch, negatives, shared_negatives,
-                                group, hold, pallas_scatter=False):
+                                group, hold, pallas_scatter=False,
+                                fused=False):
         """Band-PERSISTENT superstep (order-2 only): one stratum held for
         ``hold`` micro-batches; both band slices are paid once per block
         instead of once per micro-step (ops.update.sgns_banded_block,
-        sampling law unchanged -- BandedTables.draw_banded_block)."""
+        sampling law unchanged -- BandedTables.draw_banded_block).
+        fused: micro-steps run through the fused Pallas kernel on the
+        carried band slices -- the cheap-small-batch mode."""
         band_size = self.banded_tables.band_size
         Ks = shared_negatives
 
@@ -231,6 +272,7 @@ class LINE(PairModelBase):
                 state["vertex"], state["context"], sb, db, band_size,
                 src, pos, negs, alphas, k_equiv=negatives,
                 src_group=group, pallas_scatter=pallas_scatter,
+                fused=fused,
             )
             return {"vertex": wv, "context": wc}, loss
 
@@ -241,7 +283,10 @@ class LINE(PairModelBase):
         sample_times: int = 10,
         negative_samples: int = 5,
         alpha: float = 0.025,
-        batch: int = 32768,
+        batch: int = 0,  # 0 = auto: 32768, except the fused banded path
+        # takes 16384 (batch scales with band size so per-budget stratum
+        # coverage matches the proven 32776-band config). An explicit
+        # value is always respected as-is.
         steps_per_call: int = 128,
         collision: str = "sum",
         shared_negatives: int = 128,
@@ -279,12 +324,21 @@ class LINE(PairModelBase):
         # experiments/band_hold_bench.py) -- so "auto" = OFF; the fused
         # Pallas band kernel is the sanctioned fast path instead
         band_size: int = 0,  # 0 = sampling.banded.DEFAULT_BAND_SIZE
+        multiband: object = "auto",  # pipelined multi-band kernel: one
+        # band pair PER MICRO-STEP streamed through the Pallas grid
+        # pipeline (sgns_banded_multiblock) -- small per-stratum visits
+        # (the quality knob) at amortized fixed cost. "auto" = off until
+        # the measurement gates flip it; True forces it (order-2,
+        # group=1, TPU/interpret).
         mesh=None,
         sharding: str = "dp",
         verbose: bool = True,
     ) -> None:
         total = int(sample_times * 1_000_000)
         n = self.graph.n_vertices
+        auto_batch = batch == 0
+        if auto_batch:
+            batch = 32768
         use_banded = bool(
             shared_negatives
             and collision == "sum"
@@ -362,7 +416,8 @@ class LINE(PairModelBase):
             band_size = band_size or (
                 FUSED_BAND_SIZE if fused else DEFAULT_BAND_SIZE
             )
-            if fused and auto_band and band_size < DEFAULT_BAND_SIZE:
+            if (fused and auto_batch and auto_band
+                    and band_size < DEFAULT_BAND_SIZE):
                 # keep batch-per-stratum-row constant: the finer strata
                 # of the VMEM-sized band must not coarsen per-budget
                 # stratum coverage (measured: batch 32768 at band 16392
@@ -384,11 +439,45 @@ class LINE(PairModelBase):
                 k: jnp.pad(v, ((0, n_pad - n), (0, 0)))
                 for k, v in self.state.items()
             }
+            use_multi = (
+                multiband is True and self.order == 2 and group == 1
+                and hoist > 1 and _tiles(batch)
+            )
+            if use_multi:
+                from smore_tpu.sampling.banded import MULTI_BAND_SIZE
+
+                if auto_band and band_size != MULTI_BAND_SIZE:
+                    bt = BandedTables.build(
+                        self.graph, band_size=MULTI_BAND_SIZE, two_d=True,
+                        vertex_method=self.vertex_method, base=self.tables,
+                    )
+                    self.banded_tables = bt
+                    n_pad = bt.n_rows_padded
+                    state = {
+                        k: jnp.pad(v, ((0, n_pad - n), (0, 0)))
+                        for k, v in self.state.items()
+                    }
+                step_fn = self._make_banded_multiblock_step(
+                    batch, negative_samples, shared_negatives, hoist
+                )
+                driver = TrainDriver(
+                    step_fn,
+                    ctx=self.banded_tables,
+                    samples_per_step=batch * hoist,
+                    alpha=alpha,
+                    total_samples=total,
+                    steps_per_call=max(1, steps_per_call // hoist),
+                    micro_steps=hoist,
+                    **self._ckpt_kw(),
+                )
+                out = driver.train(state, self._key(), verbose=verbose)
+                self.state = {k: v[:n] for k, v in out.items()}
+                return
             use_hold = band_hold is True and self.order == 2 and hoist > 1
             if use_hold:
                 step_fn = self._make_banded_block_step(
                     batch, negative_samples, shared_negatives, group,
-                    hoist, pallas_scatter=pallas_scat,
+                    hoist, pallas_scatter=pallas_scat, fused=fused,
                 )
             else:
                 step_fn = self._make_banded_step(

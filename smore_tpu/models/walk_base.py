@@ -54,15 +54,30 @@ class WalkSGNSBase(PairModelBase):
 
     def _make_step(
         self, batch_walks: int, negatives: int, shared_negatives: int,
-        collision: str, hoist: int = 1,
+        collision: str, hoist: int = 1, epoch_starts: bool = False,
     ):
         def draw(ctx, key, n_walks, n_negs):
             tables = self._tables_of(ctx)
             k_s, k_w, k_n = jax.random.split(key, 3)
             n = tables.vertex_prob.shape[0]
-            starts = jax.random.randint(
-                k_s, (n_walks,), 0, n, dtype=jnp.int32
-            )
+            if epoch_starts:
+                # Reference start law (DeepWalk.cpp:121-133): per epoch,
+                # Fisher-Yates shuffle of ALL vertices, each starting
+                # exactly one walk. One hoisted block = one epoch here;
+                # any block slack beyond n is filled with uniform draws.
+                perm = jax.random.permutation(k_s, n).astype(jnp.int32)
+                if n_walks > n:
+                    fill = jax.random.randint(
+                        jax.random.fold_in(k_s, 1), (n_walks - n,), 0, n,
+                        dtype=jnp.int32,
+                    )
+                    starts = jnp.concatenate([perm, fill])
+                else:
+                    starts = perm[:n_walks]
+            else:
+                starts = jax.random.randint(
+                    k_s, (n_walks,), 0, n, dtype=jnp.int32
+                )
             src, pos, mask = self._emit_pairs(ctx, k_w, starts)
             negs = tables.negative_sample(k_n, (n_negs,))
             return src, pos, mask, negs
@@ -112,6 +127,8 @@ class WalkSGNSBase(PairModelBase):
         sharding: str = "dp",
         hoist: int = 1,
     ) -> None:
+        n = self.graph.n_vertices
+        epoch_starts = False
         if mesh is not None and sharding == "dp":
             hoist = 1  # DP merges per-device deltas every step
         else:
@@ -121,9 +138,22 @@ class WalkSGNSBase(PairModelBase):
             batch_walks, hoist = freshness_policy(
                 total_walks, batch_walks, hoist
             )
+            # Epoch-exact start coverage (the reference's per-epoch
+            # shuffle): one hoisted block = one epoch. Under iid starts
+            # a walk_times=2 run leaves ~13% of vertices with no walk
+            # (Poisson), which dominates the truncated-budget quality
+            # gap (experiments/trunc_walk_sweep.py: batch/negative-pool
+            # sizing moved link-AUC 0.705-0.712 while the reference sat
+            # at 0.939). Gated to graphs where an epoch's mega-draw
+            # fits comfortably in memory.
+            steps_per_epoch = -(-n // batch_walks)
+            if n <= 131_072 and steps_per_epoch <= 1024:
+                epoch_starts = True
+                hoist = steps_per_epoch
         driver = TrainDriver(
             self._make_step(
-                batch_walks, negatives, shared_negatives, collision, hoist
+                batch_walks, negatives, shared_negatives, collision,
+                hoist, epoch_starts,
             ),
             ctx=self._make_ctx(),
             samples_per_step=batch_walks * hoist,  # schedule counts WALKS

@@ -122,6 +122,178 @@ def _make_kernel(mode: str):
     return _kernel
 
 
+def _make_multi_kernel():
+    """Multi-band variant: grid (S, B//TB); micro-step s works band pair
+    (sb_idx[s], db_idx[s]) whose blocks Pallas streams HBM<->VMEM via
+    the grid pipeline -- the band fetch/write-back overlaps compute, so
+    SMALL per-stratum batches (the quality-critical knob: 40M-gate AUC
+    0.618@2048 vs 0.585@16384 visit sizes) keep big-batch throughput."""
+
+    def _kernel(sb_ref, db_ref, src_ref, pos_ref, params_ref,
+                wv_in, wc_in, cn_ref,
+                wv_ref, wc_ref, dneg_ref, loss_ref, v_s, cp_s, acc,
+                lsum):
+        s = pl.program_id(0)
+        i = pl.program_id(1)
+        n_s = pl.num_programs(0)
+        n_i = pl.num_programs(1)
+        alpha = params_ref[s, 0]
+        scale = params_ref[s, 1]
+        kscale = params_ref[s, 2]
+        tb = v_s.shape[0]
+        B = n_i * tb
+        base = s * B + i * tb
+
+        def gbody(j, _):
+            j0 = j * _U
+            for k in range(_U):
+                r = src_ref[base + j0 + k]
+                v_s[pl.ds(j0 + k, 1), :] = wv_ref[pl.ds(r, 1), :]
+                r2 = pos_ref[base + j0 + k]
+                cp_s[pl.ds(j0 + k, 1), :] = wc_ref[pl.ds(r2, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, tb // _U, gbody, 0, unroll=1)
+
+        v = v_s[:]
+        cp = cp_s[:]
+        cn = cn_ref[0]
+        s_pos = jax.nn.sigmoid(jnp.sum(v * cp, axis=1, keepdims=True))
+        g_pos = (1.0 - s_pos) * alpha
+        s_neg = jax.nn.sigmoid(
+            jnp.dot(v, cn.T, preferred_element_type=jnp.float32)
+        )
+        g_neg = s_neg * (-scale)
+
+        @pl.when(jnp.logical_and(s == 0, i == 0))
+        def _():
+            lsum[0, 0] = 0.0
+
+        @pl.when(i == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        eps = 1e-7
+        lsum[0, 0] += jnp.sum(-jnp.log(s_pos + eps)) - kscale * jnp.sum(
+            jnp.log(1.0 - s_neg + eps)
+        )
+        acc[:] += jnp.dot(g_neg.T, v, preferred_element_type=jnp.float32)
+
+        cp_s[:] = g_pos * cp + jnp.dot(
+            g_neg, cn, preferred_element_type=jnp.float32
+        )
+        v_s[:] = g_pos * v
+
+        def sbody(j, _):
+            j0 = j * _U
+            for k in range(_U):
+                r = src_ref[base + j0 + k]
+                wv_ref[pl.ds(r, 1), :] = (
+                    wv_ref[pl.ds(r, 1), :] + cp_s[pl.ds(j0 + k, 1), :]
+                )
+                r2 = pos_ref[base + j0 + k]
+                wc_ref[pl.ds(r2, 1), :] = (
+                    wc_ref[pl.ds(r2, 1), :] + v_s[pl.ds(j0 + k, 1), :]
+                )
+            return 0
+
+        jax.lax.fori_loop(0, tb // _U, sbody, 0, unroll=1)
+
+        @pl.when(i == n_i - 1)
+        def _():
+            dneg_ref[0] = acc[:]
+
+        @pl.when(jnp.logical_and(s == n_s - 1, i == n_i - 1))
+        def _():
+            loss_ref[0, 0] = lsum[0, 0]
+
+    return _kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band_size", "k_equiv", "interpret")
+)
+def sgns_banded_multiblock(
+    w_vertex: jnp.ndarray,  # (Np, D) FULL padded vertex table (HBM)
+    w_context: jnp.ndarray,  # (Np, D) FULL padded context table
+    sb_idx: jnp.ndarray,  # (S,) i32 source BAND INDICES per micro-step
+    db_idx: jnp.ndarray,  # (S,) i32 context band indices
+    src_l: jnp.ndarray,  # (S, B) i32 band-LOCAL source rows
+    pos_l: jnp.ndarray,  # (S, B) i32 band-LOCAL positive rows
+    cn: jnp.ndarray,  # (S, Ks, D) f32 shared-negative rows (pre-call
+    # snapshot; d_neg is returned and applied by the caller)
+    alpha: jnp.ndarray,  # (S,) per-micro-step learning rates
+    band_size: int,
+    k_equiv: int = 5,
+    interpret: bool = False,
+):
+    """S micro-steps, each on its OWN band pair, in one pallas_call:
+    band blocks stream through the grid pipeline (fetch/write-back
+    overlapped with the serial row ops + MXU math). Both tables donated.
+    Returns (w_vertex', w_context', d_neg (S, Ks, D), loss_sum ())."""
+    S, B = src_l.shape
+    D = w_vertex.shape[1]
+    Ks = cn.shape[1]
+    TB = min(2048, B)
+    assert B % TB == 0 and TB % _U == 0, (B, TB)
+
+    alphas = jnp.asarray(alpha, jnp.float32).reshape(S)
+    params = jnp.stack(
+        [alphas, alphas * (k_equiv / Ks),
+         jnp.full((S,), k_equiv / Ks, jnp.float32)], axis=1
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(S, B // TB),
+        in_specs=[
+            pl.BlockSpec((band_size, D),
+                         lambda s, i, sb, db, *_: (sb[s], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((band_size, D),
+                         lambda s, i, sb, db, *_: (db[s], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ks, D), lambda s, i, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((band_size, D),
+                         lambda s, i, sb, db, *_: (sb[s], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((band_size, D),
+                         lambda s, i, sb, db, *_: (db[s], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ks, D), lambda s, i, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda s, i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TB, D), jnp.float32),
+            pltpu.VMEM((TB, D), jnp.float32),
+            pltpu.VMEM((Ks, D), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+    )
+    wv2, wc2, d_neg, loss = pl.pallas_call(
+        _make_multi_kernel(),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(w_vertex.shape, jnp.float32),
+            jax.ShapeDtypeStruct(w_context.shape, jnp.float32),
+            jax.ShapeDtypeStruct((S, Ks, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        # operand numbering includes the 5 scalar-prefetch args
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interpret,
+    )(sb_idx.astype(jnp.int32), db_idx.astype(jnp.int32),
+      src_l.reshape(-1).astype(jnp.int32),
+      pos_l.reshape(-1).astype(jnp.int32), params,
+      w_vertex, w_context, cn)
+    return wv2, wc2, d_neg, loss[0, 0]
+
+
 @functools.partial(
     jax.jit, static_argnames=("k_equiv", "interpret", "mode")
 )

@@ -1378,6 +1378,13 @@ def sgns_banded_block(
     k_equiv: int = 5,
     src_group: int = 1,
     pallas_scatter: bool = False,
+    fused: bool = False,  # run each micro-step through the fused Pallas
+    # kernel (ops/pallas_sgns_banded.py) on the CARRIED band slices --
+    # no per-micro-step slice/write-back AND no per-row XLA engine ops:
+    # the combination that makes small (fresh) micro-batches cheap.
+    # Negative rows read the block-start snapshot (same deviation as the
+    # unfused block path's out-of-band negatives, here for all of them);
+    # d_neg applies at block end, band-split.
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     if pallas_scatter:
         from smore_tpu.ops.pallas_scatter import band_scatter_add
@@ -1409,6 +1416,40 @@ def sgns_banded_block(
     cn_out = w_context.at[negs.reshape(-1)].get(
         mode="promise_in_bounds"
     ).reshape(S, Ks, D)
+
+    if fused:
+        from smore_tpu.ops.pallas_sgns_banded import sgns_banded_fused
+
+        assert G == 1, "fused block path is for the ungrouped config"
+        _interp_f = jax.default_backend() == "cpu"
+
+        def fbody(carry, x):
+            ds, dsv = carry
+            src_l, pos_l, cn, alpha = x
+            dsv, ds, d_neg, loss_sum = sgns_banded_fused(
+                dsv, ds, src_l, pos_l, cn, alpha, k_equiv=k_equiv,
+                interpret=_interp_f,
+            )
+            return (ds, dsv), (d_neg, loss_sum / B)
+
+        (ds, dsv), (d_neg_all, losses) = jax.lax.scan(
+            fbody, (ds, dsv), (src_l, pos_l, cn_out, alphas)
+        )
+        # in-band negative deltas land on the band slice, the rest on
+        # the big table -- both once at block end
+        ds = ds.at[
+            jnp.where(in_b, negs_l, band_size).reshape(-1)
+        ].add(d_neg_all.reshape(S * Ks, D), mode="drop")
+        w_context = jax.lax.dynamic_update_slice(
+            w_context, ds, (band_start, 0)
+        )
+        w_vertex = jax.lax.dynamic_update_slice(
+            w_vertex, dsv, (src_band_start, 0)
+        )
+        w_context = w_context.at[
+            jnp.where(in_b, n_pad, negs).reshape(-1)
+        ].add(d_neg_all.reshape(S * Ks, D), mode="drop")
+        return w_vertex, w_context, jnp.mean(losses)
 
     def body(carry, x):
         ds, dsv = carry

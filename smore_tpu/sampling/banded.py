@@ -83,6 +83,12 @@ DEFAULT_BAND_SIZE = 32776
 # mass is unchanged.
 FUSED_BAND_SIZE = 16392
 
+# Band size for the MULTI-band pipelined kernel (sgns_banded_multiblock):
+# each micro-step's band pair streams HBM<->VMEM through the grid
+# pipeline, so blocks must leave room for double buffering.
+# 8200 = 8 * 25 * 41 (2-adic factor 2^3 only).
+MULTI_BAND_SIZE = 8200
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass

@@ -274,11 +274,13 @@ def test_banded_block_draw_law(comm_graph, group):
     assert 0.5 * np.abs(emp - pair_p).sum() < 0.05
 
 
-@pytest.mark.parametrize("group,negs_mode",
-                         [(1, "in_band"), (4, "in_band"),
-                          (1, "disjoint_out"), (4, "disjoint_out")])
+@pytest.mark.parametrize("group,negs_mode,fused",
+                         [(1, "in_band", False), (4, "in_band", False),
+                          (1, "disjoint_out", False),
+                          (4, "disjoint_out", False),
+                          (1, "disjoint_out", True)])
 def test_banded_block_equals_sequential_steps(comm_graph, group,
-                                              negs_mode):
+                                              negs_mode, fused):
     """S micro-steps through sgns_banded_block == S sequential
     sgns_shared_negs_step_banded calls on identical indices.
 
@@ -308,6 +310,7 @@ def test_banded_block_equals_sequential_steps(comm_graph, group,
     from smore_tpu.ops.update import sgns_banded_block
     gv, gc, _ = sgns_banded_block(
         wv, wc, sb, db, BAND, src, pos, negs, alphas, src_group=group,
+        fused=fused,
     )
 
     rv, rc = wv, wc

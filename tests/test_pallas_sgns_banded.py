@@ -89,3 +89,54 @@ def test_line_banded_fused_e2e_quality(comm_graph):
     auc_plain = _auc(m2)
     assert auc_fused > 0.8
     assert abs(auc_fused - auc_plain) < 0.08, (auc_fused, auc_plain)
+
+
+def test_multiblock_equals_sequential_fused_steps(comm_graph):
+    """sgns_banded_multiblock (S band pairs, one pallas_call) == S
+    sequential fused banded steps on identical draws, including a
+    REVISITED band pair (write-back -> re-fetch ordering). Negatives are
+    out-of-band and disjoint per step so the deferred d_neg application
+    commutes exactly."""
+    import jax.numpy as jnp
+
+    from smore_tpu.ops.pallas_sgns_banded import sgns_banded_multiblock
+    from smore_tpu.ops.update import sgns_shared_negs_step_banded
+
+    g = comm_graph
+    n_pad = -(-g.n_vertices // BAND) * BAND  # >= 4 bands for 200 verts
+    assert n_pad // BAND >= 3
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    D, B, Ks, S = 64, 64, 8, 3
+    wv = jax.random.normal(k1, (n_pad, D)) * 0.1
+    wc = jax.random.normal(k2, (n_pad, D)) * 0.1
+    # step band pairs (src band, dst band), with step 2 REVISITING
+    # step 0's pair
+    sb_idx = jnp.asarray([1, 2, 1], jnp.int32)
+    db_idx = jnp.asarray([2, 1, 2], jnp.int32)
+    src_l = jax.random.randint(k3, (S, B), 0, BAND)
+    pos_l = jax.random.randint(k4, (S, B), 0, BAND)
+    # negatives: band 0 rows (outside all active bands), disjoint per step
+    negs = jnp.arange(S * Ks, dtype=jnp.int32).reshape(S, Ks)
+    assert int(negs.max()) < BAND
+    alphas = jnp.float32([0.05, 0.04, 0.03])
+
+    cn = wc[negs.reshape(-1)].reshape(S, Ks, D)
+    gv, gc, d_neg, _ = sgns_banded_multiblock(
+        wv, wc, sb_idx, db_idx, src_l, pos_l, cn, alphas,
+        band_size=BAND, interpret=True,
+    )
+    gc = gc.at[negs.reshape(-1)].add(d_neg.reshape(-1, D))
+
+    rv, rc = wv, wc
+    for t in range(S):
+        rv, rc, _ = sgns_shared_negs_step_banded(
+            rv, rc, db_idx[t] * BAND, BAND,
+            src_l[t] + sb_idx[t] * BAND, pos_l[t] + db_idx[t] * BAND,
+            negs[t], alphas[t],
+            src_band_start=sb_idx[t] * BAND, fused=True,
+        )
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(rc),
+                               rtol=2e-5, atol=1e-6)
