@@ -99,11 +99,15 @@ def _by_name_matrix(emb, names, n):
     return out
 
 
-def microf1():
+def microf1(probe_n=200_000):
     """Softmax probe on o2-only and on concat(o1, o2), both sides at
-    120M (the converged budget with reference arms for both orders)."""
+    120M (the converged budget with reference arms for both orders).
+    The probe trains on a seeded ``probe_n``-vertex subsample (identical
+    for both sides) -- full-batch GD over 1.1M x 128 on this 2-core host
+    would dominate wall-clock without changing the comparison."""
     n = 1_100_000
     lab = labels()
+    sub = np.random.default_rng(123).choice(n, probe_n, replace=False)
     results = {}
     for side in ("ours", "ref"):
         mats = {}
@@ -122,7 +126,7 @@ def microf1():
             ("o2", mats["o2"]),
             ("o1+o2", np.concatenate([mats["o1"], mats["o2"]], axis=1)),
         ):
-            f1 = softmax_probe(mat, lab, iters=150)
+            f1 = softmax_probe(mat[sub], lab[sub], iters=150)
             results[(side, probe_on)] = f1
             print(f"micro-F1 {side:4s} {probe_on}: {f1:.4f}", flush=True)
     return results

@@ -82,12 +82,25 @@ class WalkSGNSBase(PairModelBase):
             negs = tables.negative_sample(k_n, (n_negs,))
             return src, pos, mask, negs
 
+        passes = int(getattr(self, "inner_passes", 1))
+
         def update(state, x, alpha):
             src, pos, mask, negs = x
-            wv, wc, loss = sgns_shared_negs_step(
-                state["vertex"], state["context"], src, pos, negs,
-                alpha, k_equiv=negatives, mask=mask, collision=collision,
-            )
+            wv, wc = state["vertex"], state["context"]
+            # inner_passes > 1: re-evaluate the gradients at the updated
+            # tables on the SAME samples (alpha split across passes) --
+            # approximates the reference's sequential per-pair updates
+            # WITHIN a step. With the zero-init context table a single
+            # batched pass gives every pair cp=0 at once (no positive
+            # signal reaches the vertex side all step), while the
+            # reference's in-walk sequencing bootstraps immediately;
+            # this is the truncated-budget gap's mechanism.
+            for _ in range(passes):
+                wv, wc, loss = sgns_shared_negs_step(
+                    wv, wc, src, pos, negs,
+                    alpha / passes, k_equiv=negatives, mask=mask,
+                    collision=collision,
+                )
             return {"vertex": wv, "context": wc}, loss
 
         if hoist > 1:
@@ -135,9 +148,25 @@ class WalkSGNSBase(PairModelBase):
             # truncated-budget auto-policy: approximate the reference's
             # per-sample freshness when the walk budget is small
             # (base.freshness_policy; gated by walk_parity trunc runs)
-            batch_walks, hoist = freshness_policy(
-                total_walks, batch_walks, hoist
-            )
+            bw2, hoist = freshness_policy(total_walks, batch_walks, hoist)
+            if bw2 != batch_walks:
+                # The regime where batched steps lag the reference's
+                # sequential per-pair updates. Root cause (measured,
+                # experiments/trunc_walk_sweep.py + CPU pass sweep): with
+                # the zero-init context table, one batched pass gives
+                # every pair cp=0 simultaneously -- no positive signal
+                # reaches the vertex side for a whole step -- while the
+                # reference's in-walk sequencing bootstraps immediately.
+                # Re-evaluating gradients over the same samples
+                # (inner_passes=4, step mass alpha*2 split across
+                # passes) recovers the sequential dynamics: deepwalk
+                # walk_times=2 link-AUC 0.700 -> 0.950 vs the
+                # reference's 0.940. Engages ONLY here; default budgets
+                # are untouched (0.9966 parity stands).
+                if getattr(self, "inner_passes", 0) in (0, 1):
+                    self.inner_passes = 4
+                    alpha = alpha * 2.0
+            batch_walks = bw2
             # Epoch-exact start coverage (the reference's per-epoch
             # shuffle): one hoisted block = one epoch. Under iid starts
             # a walk_times=2 run leaves ~13% of vertices with no walk
