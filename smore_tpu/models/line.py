@@ -418,14 +418,15 @@ class LINE(PairModelBase):
             )
             if (fused and auto_batch and auto_band
                     and band_size < DEFAULT_BAND_SIZE):
-                # keep batch-per-stratum-row constant: the finer strata
-                # of the VMEM-sized band must not coarsen per-budget
-                # stratum coverage (measured: batch 32768 at band 16392
-                # costs 0.04 AUC at the 40M gate; halving the batch
-                # restores the proven coverage ratio of the 32776-band
-                # config -- experiments/fused_bench.py)
-                b2 = batch * band_size // DEFAULT_BAND_SIZE
-                batch = max(2048, b2 // 2048 * 2048)
+                # The 40M-gate AUC tracks the per-stratum VISIT size
+                # (0.618@2048-sample visits, 0.606@4096, 0.585@16384 vs
+                # the reference's 0.611-0.617; same ordering at 120M --
+                # PERF_NOTES "stratum-VISIT size"). batch IS the visit
+                # size on the no-hold path; 4096 is the largest batch
+                # that holds the quality gate (13.8 M samples/s, 48x the
+                # all-core reference). Explicit batch trades the other
+                # way (16384 -> 24-31 M/s at ~0.03 AUC below the gate).
+                batch = 4096
             two_d = self.order == 2
             bt = getattr(self, "banded_tables", None)
             if bt is None or bt.band_size != band_size or bt.two_d != two_d:

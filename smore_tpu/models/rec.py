@@ -38,6 +38,7 @@ class _SharedTableRec(PairModelBase):
     """Shared scaffolding: one table, src/pos/negs draws, one kernel."""
 
     negative_method = "no_degrees"
+    default_shared_negatives = 256
 
     def init(self, dim: int) -> None:
         self.dim = dim
@@ -125,11 +126,14 @@ class _SharedTableRec(PairModelBase):
         hoist: int = 0,  # draws for N batches as one mega-draw before an
         # inner scan (identical law; see models/line.py). 0 = auto: 8 on
         # the shared-pool single-stream path, else 1.
-        shared_negatives: int = 256,  # Ks-row shared negative pool per
+        shared_negatives: int = -1,  # Ks-row shared negative pool per
         # step, scored against every sample on the MXU with k_equiv/Ks
         # scaling (ops/update.py shared-pool rec kernels) -- the same
         # expectation-preserving transform as LINE's shared negatives.
-        # 0 = the reference's per-sample fresh negatives.
+        # 0 = the reference's per-sample fresh negatives; -1 = class
+        # default (256 for MF/BPR/WARP, whose shared-pool parity holds;
+        # 0 for SkewOPT -- its expectation-form rounds cost recall@10
+        # 0.911 vs 0.923, PERF_NOTES round 3).
         mesh=None,
         verbose: bool = True,
         **kw,
@@ -139,6 +143,8 @@ class _SharedTableRec(PairModelBase):
                 raise TypeError(f"unknown train arg {k!r}")
             setattr(self, k, v)
         batch = clamp_batch(self.graph.n_vertices, batch)
+        if shared_negatives < 0:
+            shared_negatives = self.default_shared_negatives
         if shared_negatives:
             shared_negatives = min(shared_negatives, batch)
         if mesh is not None:
@@ -248,6 +254,11 @@ class WARP(_SharedTableRec):
 class SkewOPT(_SharedTableRec):
     """Skew-OPT (UAI'20) via UpdateSBPRPair (proNet.cpp:1517-1566;
     16 negatives, (xi, omega, eta) skewed logistic)."""
+
+    # shared-pool expectation rounds cost recall@10 (0.9106 vs the
+    # reference's 0.9231 on the bpr_parity harness); the per-sample
+    # reference form matches (0.925 vs 0.926) -- quality wins here
+    default_shared_negatives = 0
 
     def __init__(self, graph, seed: int = 0, xi: float = 10.0,
                  omega: float = 3.0, eta: int = 3, rounds: int = 16):

@@ -234,7 +234,8 @@ def sgns_banded_multiblock(
     S, B = src_l.shape
     D = w_vertex.shape[1]
     Ks = cn.shape[1]
-    TB = min(2048, B)
+    TB = min(1024, B)  # smaller tile than the single-band kernel: the
+    # pipelined band blocks already eat most of the VMEM budget
     assert B % TB == 0 and TB % _U == 0, (B, TB)
 
     alphas = jnp.asarray(alpha, jnp.float32).reshape(S)

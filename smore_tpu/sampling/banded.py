@@ -85,9 +85,11 @@ FUSED_BAND_SIZE = 16392
 
 # Band size for the MULTI-band pipelined kernel (sgns_banded_multiblock):
 # each micro-step's band pair streams HBM<->VMEM through the grid
-# pipeline, so blocks must leave room for double buffering.
-# 8200 = 8 * 25 * 41 (2-adic factor 2^3 only).
-MULTI_BAND_SIZE = 8200
+# pipeline; Mosaic stages the aliased in AND out blocks of both tables
+# double-buffered (8 block buffers), so the band must be small --
+# 8200-row bands hit a 34.3 MB scoped-vmem OOM against the 16 MB limit.
+# 4104 = 8 * 27 * 19 (2-adic factor 2^3 only).
+MULTI_BAND_SIZE = 4104
 
 
 @jax.tree_util.register_pytree_node_class

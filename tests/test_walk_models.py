@@ -96,3 +96,19 @@ def test_walk_models_save(comm_graph, tmp_path):
     m.save_weights(str(out))
     header = out.read_text().split("\n")[0]
     assert header == f"{comm_graph.n_vertices} 8"
+
+
+def test_truncated_budget_policy_engages(comm_graph=None):
+    """The freshness policy must shrink batch/raise micro-steps AND set
+    the inner-pass bootstrap compensation ONLY at truncated budgets."""
+    from smore_tpu.models.base import freshness_policy
+
+    # default-budget walk config (20k graph, walk_times=10): untouched
+    b, h = freshness_policy(200_000, 128, 1)
+    assert (b, h) == (128, 1)
+    # truncated (walk_times=2): shrink + compensate
+    b2, h2 = freshness_policy(40_000, 128, 1)
+    assert b2 < 128 and h2 > 1
+    # tiny: floors hold
+    b3, h3 = freshness_policy(100, 128, 1)
+    assert b3 == 8 and h3 <= 64
