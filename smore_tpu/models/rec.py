@@ -81,9 +81,9 @@ class _SharedTableRec(PairModelBase):
             if Ks:
                 negs = tables.negative_sample(k3, (m, Ks))
                 if self._needs_trials():
-                    extra = jax.random.randint(
-                        k4, (m, batch, R), 0, Ks, dtype=jnp.int32
-                    )
+                    # WARP: tie-break + gate uniforms (see
+                    # warp_shared_pool_step's marginalized trial law)
+                    extra = jax.random.uniform(k4, (m, batch, Ks + 1))
                 else:
                     extra = jnp.zeros((m, 1), jnp.int32)
             else:
@@ -246,7 +246,8 @@ class WARP(_SharedTableRec):
                        collision):
         w, _, loss = warp_shared_pool_step(
             state["vertex"], state["vertex"], src, pos, pool, extra,
-            alpha, shared_table=True, collision=collision,
+            alpha, trials=self.trials, shared_table=True,
+            collision=collision,
         )
         return w, loss
 

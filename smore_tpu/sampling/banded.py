@@ -87,9 +87,10 @@ FUSED_BAND_SIZE = 16392
 # each micro-step's band pair streams HBM<->VMEM through the grid
 # pipeline; Mosaic stages the aliased in AND out blocks of both tables
 # double-buffered (8 block buffers), so the band must be small --
-# 8200-row bands hit a 34.3 MB scoped-vmem OOM against the 16 MB limit.
-# 4104 = 8 * 27 * 19 (2-adic factor 2^3 only).
-MULTI_BAND_SIZE = 4104
+# measured scoped-vmem usage fits ~16.2 band-block buffers (34.28 MB at
+# band 8200, 17.28 MB at 4104 -> still OOM): band <= ~3850.
+# 3208 = 8 * 401 (2-adic factor 2^3 only).
+MULTI_BAND_SIZE = 3208
 
 
 @jax.tree_util.register_pytree_node_class

@@ -189,32 +189,48 @@ def test_mf_shared_pool_equals_broadcast_per_sample():
                                rtol=2e-5, atol=1e-6)
 
 
-def test_warp_shared_pool_equals_gathered_trials():
-    """warp_shared_pool_step(pool, trial_idx) == warp_step on the
-    gathered trial matrix pool[trial_idx]."""
+def test_warp_shared_pool_marginalized_law():
+    """The marginalized trial law: the selected negative is uniform
+    among the pool's margin violators, and the update fires with
+    probability 1 - (1 - v)^trials (UpdateWARPPair's first-violator-
+    within-T-iid-draws semantics, proNet.cpp:1353-1404)."""
     import jax
     import jax.numpy as jnp
 
-    from smore_tpu.ops.update import warp_shared_pool_step, warp_step
+    from smore_tpu.ops.update import warp_shared_pool_step
 
-    key = jax.random.PRNGKey(2)
-    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    N, D, B, Ks, T = 64, 8, 32, 16, 6
-    w = jax.random.normal(k1, (N, D)) * 0.5
-    user = jax.random.randint(k2, (B,), 0, N)
-    pos = jax.random.randint(k3, (B,), 0, N)
-    pool = jax.random.randint(k4, (Ks,), 0, N)
-    trial = jax.random.randint(k5, (B, T), 0, Ks)
-    alpha = jnp.float32(0.05)
-
-    ref, _, _ = warp_step(
-        w, w, user, pos, pool[trial], alpha, shared_table=True,
+    # Craft scores: user rows orthogonal; make exactly 4 of 16 pool
+    # entries violate for every sample by table construction.
+    N, D, Ks, B, T = 64, 8, 16, 4096, 5
+    w = jnp.zeros((N, D))
+    w = w.at[0, 0].set(1.0)          # every user = e0
+    w = w.at[1, 0].set(2.0)          # pos: f_i = 2 -> needs f_j > 1
+    for k in range(Ks):
+        # pool rows 2..17; first 4 score 1.5 (violate), rest -1 (no)
+        w = w.at[2 + k, 0].set(1.5 if k < 4 else -1.0)
+    user = jnp.zeros((B,), jnp.int32)
+    pos = jnp.ones((B,), jnp.int32)
+    pool = jnp.arange(2, 2 + Ks, dtype=jnp.int32)
+    u = jax.random.uniform(jax.random.PRNGKey(0), (B, Ks + 1))
+    _, _, _ = warp_shared_pool_step(
+        w, w, user, pos, pool, u, jnp.float32(0.0), trials=T,
+        shared_table=True,
     )
-    got, _, _ = warp_shared_pool_step(
-        w, w, user, pos, pool, trial, alpha, shared_table=True,
-    )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-5, atol=1e-6)
+    # law checks computed the same way the kernel does
+    f_i = 2.0
+    f_pool = np.array([1.5] * 4 + [-1.0] * (Ks - 4))
+    violated = (f_i - f_pool) < 1.0
+    assert violated[:4].all() and not violated[4:].any()
+    vfrac = violated.mean()
+    p_hit = 1 - (1 - vfrac) ** T
+    un = np.asarray(u)
+    k_sel = np.argmax(np.where(violated[None, :], un[:, :Ks], -1.0), 1)
+    counts = np.bincount(k_sel, minlength=Ks)
+    # uniform over the 4 violators (chi-square-ish bound), none outside
+    assert counts[4:].sum() == 0
+    assert abs(counts[:4] / B - 0.25).max() < 0.03
+    gate = (un[:, Ks] < p_hit).mean()
+    assert abs(gate - p_hit) < 0.03
 
 
 @pytest.mark.parametrize("cls,kw", [
