@@ -426,7 +426,9 @@ class LINE(PairModelBase):
                 # that holds the quality gate (13.8 M samples/s, 48x the
                 # all-core reference). Explicit batch trades the other
                 # way (16384 -> 24-31 M/s at ~0.03 AUC below the gate).
-                batch = 4096
+                # Re-clamp: explicit banded=True on a small graph must
+                # not overshoot its table (clamp_batch rationale).
+                batch = clamp_batch(n, 4096, group=group)
             two_d = self.order == 2
             bt = getattr(self, "banded_tables", None)
             if bt is None or bt.band_size != band_size or bt.two_d != two_d:
