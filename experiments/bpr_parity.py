@@ -123,7 +123,11 @@ def run_ours(model="bpr"):
 
     cls = {"bpr": rec.BPR, "mf": rec.MF, "warp": rec.WARP,
            "skewopt": rec.SkewOPT, "hpe": HPE}[model]
-    g = Graph.load_edge_list(TRAIN, undirected=True)
+    # the reference's mf/bpr/warp/skewopt CLIs hardcode DIRECTED loading
+    # (cli/{mf,bpr,warp}.cpp:57-63, cli/skewopt.cpp:69); matched arms
+    # must too (round-4 root cause of the rec recall deficits)
+    undirected = model == "hpe"
+    g = Graph.load_edge_list(TRAIN, undirected=undirected)
     m = cls(g, seed=0)
     m.init(dim=DIM)
     m.train(sample_times=1, verbose=False)  # warm/compile

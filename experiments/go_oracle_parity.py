@@ -263,10 +263,35 @@ def oracle_rotate(kg, epochs, alpha, margin=6.0, temp=1.0):
 
 
 def oracle_complex(kg, epochs, alpha, margin=1.0, negs=10):
+    # complex.go:41-84: entities AND relations init uniform(-0.5,0.5)/dim
+    # per real/imag component; entities normalized to unit length at init
+    # (normalizeEntity), relations NOT normalized. (The round-3 oracle's
+    # 6/sqrt(d) init gave relations ~30x the reference's magnitude --
+    # saturating the trilinear margin loss -- and refreshed the positive
+    # score inside the negative loop, which complex.go:224 does not:
+    # posScore is computed once per triple and stays stale across all
+    # negativeSamples corruptions.)
+    #
+    # ROUND-4 ROOT CAUSE (VERDICT r3 item 4): re-run with the corrected
+    # init + stale posScore across a (dim, lr) sweep -- cd 8/50, lr
+    # 0.01/0.001, up to 12 epochs with per-epoch eval -- the reference
+    # semantics PEAK at MRR ~0.11 in the first 2-4 epochs and then
+    # DEGRADE. Mechanism (reference-semantics defect, not an oracle
+    # bug): complex.go applies no regularization to RELATION embeddings
+    # (rotate.go:84-93 by contrast projects relations to unit modulus
+    # every epoch), so under the always-violated margin loss |rel| grows
+    # without bound (measured: 0.37 -> 9.2 over 12 epochs at lr=0.01);
+    # entity gradient magnitude scales with |rel|, so the per-update
+    # angular moves of the unit-renormed entities grow until updates are
+    # a random walk. Ablating the per-update entity renorm (per-epoch or
+    # none) diverges to NaN -- the renorm is the only stabilizer, and it
+    # cannot bound the relations. Ours (batched margin loss, per-step
+    # renorm, bounded effective step) reaches MRR 0.64 on the same data;
+    # the "both arms > 0.3" bar is unreachable for the faithful oracle.
     rng = np.random.default_rng(SEED + 3)
     n, m = kg.n_entities, kg.n_relations
     cd = DIM // 2
-    s = 6 / np.sqrt(cd)
+    s = 0.5 / cd
     ent = rng.uniform(-s, s, (n, cd)) + 1j * rng.uniform(-s, s, (n, cd))
     ent /= np.maximum(
         np.sqrt((ent.real ** 2 + ent.imag ** 2).sum(1, keepdims=True)),
@@ -286,7 +311,7 @@ def oracle_complex(kg, epochs, alpha, margin=1.0, negs=10):
     for _ in range(epochs):
         for i in rng.permutation(len(H)):
             h, r, t = H[i], R[i], T[i]
-            ps = score(h, r, t)
+            ps = score(h, r, t)  # stale across the negative loop
             # complex.go:225-252: negativeSamples (CLI default 10) fresh
             # corruptions per positive, both triples updated on violation
             for _ in range(negs):
@@ -302,7 +327,6 @@ def oracle_complex(kg, epochs, alpha, margin=1.0, negs=10):
                         ent[tt] -= alpha * sgn * gt
                         renorm(hh)
                         renorm(tt)
-                    ps = score(h, r, t)
     return ent, rel
 
 
@@ -478,6 +502,554 @@ def oracle_metapath2vec(hg, meta_path, walk_times, walk_steps, window,
             if count % 1000 == 0:
                 cur = max(alpha * (1 - count / total), alpha * 1e-4)
     return wv
+
+
+# ===================================================================== #
+# round-4 additions (VERDICT r3 item 8): JODIE, HAN, CPR, TPR oracles
+# ===================================================================== #
+def make_interactions(path, users=40, items=60, clusters=4, events=8000):
+    """Users repeatedly interact with their own cluster's items over
+    increasing time (format: user item timestamp)."""
+    rng = np.random.default_rng(SEED)
+    t = 0.0
+    lines = []
+    for _ in range(events):
+        u = int(rng.integers(0, users))
+        own = np.arange(u % clusters, items, clusters)
+        i = int(own[rng.integers(0, len(own))])
+        t += float(rng.random())
+        lines.append(f"u{u} i{i} {t:.3f}\n")
+    with open(path, "w") as f:
+        f.writelines(lines)
+    return path
+
+
+def _jodie_eval(ue, ie, user_ids, item_ids, n_items, tail=1000):
+    """jodie.go:356-399: pairwise accuracy pos > random-neg over the
+    last <= tail (and <= 20%) interactions; identical fixed negative
+    draws for both arms."""
+    n = min(tail, max(1, len(user_ids) // 5))
+    u = np.asarray(user_ids[-n:])
+    i = np.asarray(item_ids[-n:])
+    rng = np.random.default_rng(0)
+    neg = rng.integers(0, n_items, n)
+    s_pos = np.einsum("nd,nd->n", ue[u], ie[i])
+    s_neg = np.einsum("nd,nd->n", ue[u], ie[neg])
+    return float((s_pos > s_neg).mean())
+
+
+def oracle_jodie(ig, epochs, lr, dim=DIM):
+    """jodie.go:52-296 + pkg/rnn/rnn.go:20-81, sequential NumPy.
+
+    Per epoch: dynamics reset to statics; chronological scan; user then
+    item RNN-gated EMA updates (the item update reads the POST-update
+    user row, jodie.go:269-275); statics EMA at 0.1*lr. The RNN cells'
+    weights are fixed after init (never trained in the reference)."""
+    rng = np.random.default_rng(SEED + 7)
+    nu, ni = ig.n_users, ig.n_items
+    u_static = (rng.random((nu, dim)) - 0.5) / dim
+    i_static = (rng.random((ni, dim)) - 0.5) / dim
+    in_dim = dim + 1  # no features in this dataset
+
+    def cell():
+        s = 1.0 / np.sqrt(dim)
+        return ((rng.random((dim, dim)) * 2 - 1) * s,
+                (rng.random((dim, in_dim)) * 2 - 1) * s,
+                np.zeros(dim))
+
+    uWh, uWx, uB = cell()
+    iWh, iWx, iB = cell()
+    ts = np.asarray(ig.timestamps)
+    uu = np.asarray(ig.user_ids)
+    ii = np.asarray(ig.item_ids)
+    tmin = float(ts.min()) if len(ts) else 0.0
+
+    for _ in range(epochs):
+        u_dyn, i_dyn = u_static.copy(), i_static.copy()
+        u_last = np.full(nu, tmin)
+        i_last = np.full(ni, tmin)
+        for k in range(len(uu)):
+            u, i, t = int(uu[k]), int(ii[k]), float(ts[k])
+            # user update (input = [item_emb, dt/100])
+            x = np.concatenate([i_dyn[i], [(t - u_last[u]) / 100.0]])
+            new_u = np.tanh(uWh @ u_dyn[u] + uWx @ x + uB)
+            u_dyn[u] = (1 - lr) * u_dyn[u] + lr * new_u
+            u_last[u] = t
+            # item update reads the UPDATED user row (jodie.go:269)
+            x = np.concatenate([u_dyn[u], [(t - i_last[i]) / 100.0]])
+            new_i = np.tanh(iWh @ i_dyn[i] + iWx @ x + iB)
+            i_dyn[i] = (1 - lr) * i_dyn[i] + lr * new_i
+            i_last[i] = t
+            # static EMA
+            slr = lr * 0.1
+            u_static[u] += slr * (u_dyn[u] - u_static[u])
+            i_static[i] += slr * (i_dyn[i] - i_static[i])
+    return u_static, i_static
+
+
+def run_jodie():
+    from smore_tpu.graph.bipartite import InteractionGraph
+    from smore_tpu.models.jodie import JODIE
+
+    path = make_interactions("/tmp/oracle_interactions.txt")
+    ig = InteractionGraph.load_interactions(path)
+    epochs, lr = 8, 0.05
+    print(f"[jodie] {ig.n_interactions} interactions, "
+          f"{ig.n_users}x{ig.n_items}", flush=True)
+
+    t0 = time.time()
+    oue, oie = oracle_jodie(ig, epochs, lr)
+    t_oracle = time.time() - t0
+    o_acc = _jodie_eval(oue, oie, ig.user_ids, ig.item_ids, ig.n_items)
+
+    t0 = time.time()
+    m = JODIE(ig, seed=0)
+    m.init(dim=DIM)
+    m.train(epochs=epochs, learning_rate=lr, verbose=False)
+    t_ours = time.time() - t0
+    u_acc = _jodie_eval(
+        np.asarray(m.state["user_static"]),
+        np.asarray(m.state["item_static"]),
+        ig.user_ids, ig.item_ids, ig.n_items,
+    )
+    # the reference NEVER backprops its BCE loss (jodie.go:247-262 logs
+    # it; embeddings move only through the fixed random RNN gates), so
+    # near-chance accuracy IS the reference behavior -- both faithful
+    # arms land there. bce_lr is our documented upgrade: the same BCE
+    # signal actually trains the tables.
+    m2 = JODIE(ig, seed=0)
+    m2.init(dim=DIM)
+    m2.train(epochs=epochs, learning_rate=lr, bce_lr=0.2, verbose=False)
+    up_acc = _jodie_eval(
+        np.asarray(m2.state["user_static"]),
+        np.asarray(m2.state["item_static"]),
+        ig.user_ids, ig.item_ids, ig.n_items,
+    )
+    print(f"{'jodie':14s} ours acc={u_acc:.4f} ({t_ours:.0f}s) | "
+          f"oracle {o_acc:.4f} ({t_oracle:.0f}s) | "
+          f"ours+bce {up_acc:.4f} (upgrade)", flush=True)
+    return "jodie", u_acc, o_acc, up_acc, None
+
+
+def oracle_han(hg, meta_paths, walk_times, walk_steps, epochs, lr,
+               dim=DIM):
+    """han.go:76-383, sequential NumPy: per epoch per (shuffled) node,
+    per meta-path: walk_times MetaPathWalks contribute their END node as
+    a neighbor; node-level attention a^T(Wh_i + Wh_j) with LeakyReLU +
+    softmax; aggregate transformed neighbors; semantic attention
+    q^T tanh(z_p) + softmax across paths; emb += lr * final; then
+    L2-normalize the node row. Transforms W_p are near-identity at init
+    and NEVER trained (no gradient reaches them in the reference)."""
+    rng = np.random.default_rng(SEED + 8)
+    n = hg.n_vertices
+    emb = (rng.random((n, dim)) - 0.5) / dim
+    P = len(meta_paths)
+    W = np.empty((P, dim, dim))
+    for p in range(P):
+        W[p] = (rng.random((dim, dim)) - 0.5) / dim
+        np.fill_diagonal(W[p], 1.0)
+    attn = (rng.random((P, dim)) - 0.5) / dim
+    sem = (rng.random(dim) - 0.5) / dim
+    path_ids = [[hg.type2id[t] for t in mp] for mp in meta_paths]
+
+    for _ in range(epochs):
+        for v in rng.permutation(n):
+            z = np.zeros((P, dim))
+            have = np.zeros(P, dtype=bool)
+            for p, mp in enumerate(meta_paths):
+                nbrs = []
+                for _w in range(walk_times):
+                    cur, pi = v, 0
+                    walk = [v]
+                    while len(walk) < walk_steps + 1:
+                        if hg.node_type[cur] != path_ids[p][
+                                pi % len(path_ids[p])]:
+                            break
+                        want = mp[(pi + 1) % len(mp)]
+                        cand = hg.neighbors_by_type(cur, want)
+                        if len(cand) == 0:
+                            break
+                        cur = int(cand[rng.integers(0, len(cand))])
+                        walk.append(cur)
+                        pi += 1
+                    if len(walk) > 1:
+                        nbrs.append(walk[-1])
+                if not nbrs:
+                    continue
+                have[p] = True
+                hv = W[p] @ emb[v]
+                hn = emb[np.asarray(nbrs)] @ W[p].T  # (k, dim)
+                score = hn @ attn[p] + hv @ attn[p]
+                score = np.where(score < 0, 0.01 * score, score)
+                e = np.exp(score)
+                a = e / e.sum()
+                z[p] = a @ hn
+            if not have.any():
+                continue
+            s = np.array([
+                sem @ np.tanh(z[p]) if have[p] else -np.inf
+                for p in range(P)
+            ])
+            # han.go:218-251: softmax over paths (exp(-inf) = 0 weight
+            # matches the reference's skip of nil embeddings)
+            e = np.exp(s - s[have].max())
+            e[~have] = 0.0
+            a = e / e.sum()
+            final = a @ z
+            emb[v] += lr * final
+            nrm = np.linalg.norm(emb[v])
+            if nrm > 0:
+                emb[v] /= nrm
+    return emb
+
+
+def run_han():
+    from smore_tpu.graph.hetero import HeteroGraph
+    from smore_tpu.models.han import HAN
+
+    path = make_hetero("/tmp/oracle_hetero.txt")
+    hg = HeteroGraph.load_edge_list(path, undirected=True)
+    mps = [["author", "paper", "author"],
+           ["author", "paper", "venue", "paper", "author"]]
+    # At the reference DEFAULTS (epochs=10, lr=0.01) the per-epoch
+    # drift lr * |final| ~ 0.01 against a unit-normalized random init,
+    # so BOTH arms stay init-dominated (~0.51 AUC -- behavioral parity,
+    # measured round 4). epochs=40 / lr=0.05 gives the attention
+    # propagation enough mass to expose the actual dynamics head-to-head.
+    wt, ws, epochs, lr = 5, 4, 40, 0.05
+    labels = np.zeros(hg.n_vertices, dtype=np.int64)
+    author_rows = []
+    for vid, nm in enumerate(hg.names):
+        if nm.startswith("a"):
+            labels[vid] = int(nm[1:]) // 80
+            author_rows.append(vid)
+    author_rows = np.asarray(author_rows)
+    print(f"[han] {hg.n_vertices} nodes, {len(mps)} meta-paths",
+          flush=True)
+
+    t0 = time.time()
+    o_emb = oracle_han(hg, mps, wt, ws, epochs, lr)
+    t_oracle = time.time() - t0
+    o_auc = community_auc_emb(o_emb[author_rows], labels[author_rows])
+
+    t0 = time.time()
+    m = HAN(hg, seed=0)
+    for mp in mps:
+        m.add_meta_path(mp)
+    m.init(dim=DIM, learning_rate=lr)
+    m.train(walk_times=wt, walk_steps=ws, epochs=epochs, verbose=False)
+    t_ours = time.time() - t0
+    u_auc = community_auc_emb(
+        np.asarray(m.state["embed"])[author_rows], labels[author_rows])
+    print(f"{'han':14s} ours comm-AUC={u_auc:.4f} ({t_ours:.0f}s) | "
+          f"oracle {o_auc:.4f} ({t_oracle:.0f}s)", flush=True)
+    return "han", u_auc, o_auc, None, None
+
+
+def make_two_domains(t_path, s_path, users=300, items_t=200, items_s=200,
+                     clusters=6, per_user=12):
+    """Shared users, cluster-consistent tastes in BOTH domains; the last
+    2 target interactions per user are held out for eval."""
+    rng = np.random.default_rng(SEED)
+    test_u, test_i = [], []
+    with open(t_path, "w") as ft, open(s_path, "w") as fs:
+        for u in range(users):
+            c = u % clusters
+            own_t = np.arange(c, items_t, clusters)
+            own_s = np.arange(c, items_s, clusters)
+            picks = rng.choice(own_t, min(per_user, len(own_t)),
+                               replace=False)
+            for i in picks[:-2]:
+                ft.write(f"u{u} t{i} 1\n")
+            test_u.extend([u] * 2)
+            test_i.extend(picks[-2:].tolist())
+            for i in rng.choice(own_s, min(per_user, len(own_s)),
+                                replace=False):
+                fs.write(f"u{u} s{i} 1\n")
+    return np.asarray(test_u), np.asarray(test_i)
+
+
+def _go_pronet_arrays(path):
+    """Adjacency + sampling masses per the Go pronet laws
+    (pronet.go:223-249): source ~ out-degree (power 1), target ~ edge
+    weight (linear scan), negative ~ (in+out degree)^0.75."""
+    from smore_tpu.graph.graph import Graph
+
+    g = Graph.load_edge_list(path, undirected=True)
+    out_deg = np.zeros(g.n_vertices)
+    np.add.at(out_deg, np.repeat(np.arange(g.n_vertices),
+                                 np.diff(g.indptr)), g.weights)
+    in_deg = np.zeros(g.n_vertices)
+    np.add.at(in_deg, g.indices, g.weights)
+    return g, out_deg, in_deg
+
+
+def oracle_cpr(gt, gs, updates, alpha, user_reg=0.01, item_reg=0.01,
+               margin=8.0, dim=DIM):
+    """cpr.go:47-294, sequential NumPy. transformUser = mean(user row +
+    owned target rows + owned source rows) (cpr.go:128-172); margin-BPR
+    with sigmoid(margin - diff) gradient in the TARGET domain only (the
+    Go Train only iterates target pairs; the source tables contribute
+    through the aggregation)."""
+    rng = np.random.default_rng(SEED + 9)
+    g_t, out_t, in_t = gt
+    g_s, out_s, in_s = gs
+    n_t, n_s = g_t.n_vertices, g_s.n_vertices
+    user = (rng.random((n_t, dim)) - 0.5) / dim
+    tgt = (rng.random((n_t, dim)) - 0.5) / dim
+    src = (rng.random((n_s, dim)) - 0.5) / dim
+    # ownership lists (uid -> owned items), shared-user mapping by name
+    s_of_t = np.array(
+        [g_s.name2id.get(nm, -1) for nm in g_t.names], dtype=np.int64)
+    src_draw = _alias_draw_factory(out_t, 1.0, rng)
+    neg_draw = _alias_draw_factory(in_t + out_t, 0.75, rng)
+    cur = alpha
+    amin = alpha * 1e-4
+    for k in range(updates):
+        u = src_draw()
+        lo, hi = g_t.indptr[u], g_t.indptr[u + 1]
+        if hi == lo:
+            continue
+        w = g_t.weights[lo:hi]
+        r = rng.random() * w.sum()
+        pos = int(g_t.indices[lo + np.searchsorted(np.cumsum(w), r)])
+        neg = neg_draw()
+        # transformUser
+        agg = user[u].copy()
+        cnt = 1.0
+        own_t = g_t.indices[lo:hi]
+        agg += tgt[own_t].sum(0)
+        cnt += len(own_t)
+        us = s_of_t[u]
+        if us >= 0:
+            lo2, hi2 = g_s.indptr[us], g_s.indptr[us + 1]
+            own_s = g_s.indices[lo2:hi2]
+            agg += src[own_s].sum(0)
+            cnt += len(own_s)
+        uvec = agg / cnt
+        diff = uvec @ tgt[pos] - uvec @ tgt[neg]
+        if diff < margin:
+            g = cur * fast_sigmoid(-(diff - margin))
+            ug = g * (tgt[pos] - tgt[neg])
+            user[u] += ug - cur * user_reg * user[u]
+            pg = g * uvec
+            tgt[pos] += pg - cur * item_reg * tgt[pos]
+            tgt[neg] += -pg - cur * item_reg * tgt[neg]
+        if (k + 1) % 10000 == 0:
+            cur = max(alpha * (1 - (k + 1) / updates), amin)
+    return user, tgt, src
+
+
+def _cpr_eval(user, tgt, g_t, g_s, s_of_t, test_u_vid, test_i_vid):
+    """AUC of transformed-user . target-item for held-out edges vs
+    random items -- the SAME transformUser aggregation for both arms."""
+    rng = np.random.default_rng(1)
+    scores_p, scores_n = [], []
+    for u, i in zip(test_u_vid, test_i_vid):
+        lo, hi = g_t.indptr[u], g_t.indptr[u + 1]
+        agg = user[u].copy()
+        cnt = 1.0
+        own_t = g_t.indices[lo:hi]
+        agg += tgt[own_t].sum(0)
+        cnt += len(own_t)
+        us = s_of_t[u]
+        if us >= 0:
+            pass  # source half identical across arms; target-only eval
+        uvec = agg / cnt
+        scores_p.append(uvec @ tgt[i])
+        scores_n.append(uvec @ tgt[rng.integers(0, tgt.shape[0])])
+    sp = np.asarray(scores_p)
+    sn = np.asarray(scores_n)
+    return float((sp[:, None] > sn[None, :]).mean())
+
+
+def run_cpr():
+    from smore_tpu.models.cpr import CPR
+
+    t_path, s_path = "/tmp/oracle_cpr_t.txt", "/tmp/oracle_cpr_s.txt"
+    test_u, test_i = make_two_domains(t_path, s_path)
+    gt = _go_pronet_arrays(t_path)
+    gs = _go_pronet_arrays(s_path)
+    g_t, g_s = gt[0], gs[0]
+    s_of_t = np.array(
+        [g_s.name2id.get(nm, -1) for nm in g_t.names], dtype=np.int64)
+    test_u_vid = np.array([g_t.name2id[f"u{u}"] for u in test_u])
+    test_i_vid = np.array([g_t.name2id[f"t{i}"] for i in test_i])
+    updates, alpha = 600_000, 0.1
+    print(f"[cpr] target {g_t.n_vertices} vids, source {g_s.n_vertices}",
+          flush=True)
+
+    t0 = time.time()
+    ou, ot, _ = oracle_cpr(gt, gs, updates, alpha)
+    t_oracle = time.time() - t0
+    o_auc = _cpr_eval(ou, ot, g_t, g_s, s_of_t, test_u_vid, test_i_vid)
+
+    t0 = time.time()
+    m = CPR.load_domains(t_path, s_path, seed=0)
+    m.init(dim=DIM)
+    m.train(update_times=updates / 1e6, alpha=alpha, verbose=False)
+    t_ours = time.time() - t0
+    # map our state rows into the eval's (g_t, g_s) vid space by name
+    mu = np.zeros((g_t.n_vertices, DIM))
+    mt = np.zeros((g_t.n_vertices, DIM))
+    for nm, vid in m.target.name2id.items():
+        j = g_t.name2id.get(nm)
+        if j is not None:
+            mu[j] = np.asarray(m.state["user"])[vid]
+            mt[j] = np.asarray(m.state["target"])[vid]
+    u_auc = _cpr_eval(mu, mt, g_t, g_s, s_of_t, test_u_vid, test_i_vid)
+    print(f"{'cpr':14s} ours AUC={u_auc:.4f} ({t_ours:.0f}s) | "
+          f"oracle {o_auc:.4f} ({t_oracle:.0f}s)", flush=True)
+    return "cpr", u_auc, o_auc, None, None
+
+
+def make_text_rec(ui_path, iw_path, users=300, items=240, words=120,
+                  clusters=6, per_user=12, words_per_item=5):
+    """Clustered user-item edges + topic-consistent item-word edges;
+    last 2 interactions per user held out."""
+    rng = np.random.default_rng(SEED)
+    test_u, test_i = [], []
+    with open(ui_path, "w") as fu, open(iw_path, "w") as fw:
+        for i in range(items):
+            c = i % clusters
+            own_w = np.arange(c, words, clusters)
+            for w in rng.choice(own_w, min(words_per_item, len(own_w)),
+                                replace=False):
+                fw.write(f"i{i} w{w} 1\n")
+        for u in range(users):
+            c = u % clusters
+            own = np.arange(c, items, clusters)
+            picks = rng.choice(own, min(per_user, len(own)),
+                               replace=False)
+            for i in picks[:-2]:
+                fu.write(f"u{u} i{i} 1\n")
+            test_u.extend([u] * 2)
+            test_i.extend(picks[-2:].tolist())
+    return np.asarray(test_u), np.asarray(test_i)
+
+
+def oracle_tpr(gui, giw, ui2iw, samples, alpha, lam=0.025, tw=0.5,
+               dim=DIM):
+    """tpr.go:44-260, sequential NumPy. Enriched item = (1-tw)*item +
+    tw*mean(words); BPR on user . enriched; item rows get (1-tw)-scaled
+    gradients, each word row tw/len(words)-scaled; L2 lam*alpha on all
+    three tables."""
+    rng = np.random.default_rng(SEED + 10)
+    g_ui, out_ui, in_ui = gui
+    g_iw, _, _ = giw
+    n = g_ui.n_vertices
+    user = (rng.random((n, dim)) - 0.5) / dim
+    item = (rng.random((n, dim)) - 0.5) / dim
+    word = (rng.random((g_iw.n_vertices, dim)) - 0.5) / dim
+    src_draw = _alias_draw_factory(out_ui, 1.0, rng)
+    neg_draw = _alias_draw_factory(in_ui + out_ui, 0.75, rng)
+
+    def words_of(i):
+        j = ui2iw[i]
+        if j < 0:
+            return np.empty(0, dtype=np.int64)
+        return g_iw.indices[g_iw.indptr[j]:g_iw.indptr[j + 1]]
+
+    def enrich(i):
+        ws = words_of(i)
+        if len(ws) == 0:
+            return item[i].copy(), ws
+        return (1 - tw) * item[i] + tw * word[ws].mean(0), ws
+
+    cur = alpha
+    amin = alpha * 1e-4
+    for k in range(samples):
+        u = src_draw()
+        lo, hi = g_ui.indptr[u], g_ui.indptr[u + 1]
+        if hi == lo:
+            continue
+        w = g_ui.weights[lo:hi]
+        r = rng.random() * w.sum()
+        pos = int(g_ui.indices[lo + np.searchsorted(np.cumsum(w), r)])
+        neg = neg_draw()
+        pvec, pws = enrich(pos)
+        nvec, nws = enrich(neg)
+        diff = user[u] @ nvec - user[u] @ pvec
+        g = cur * fast_sigmoid(diff)
+        ug = g * (pvec - nvec)
+        pg = g * user[u]
+        user[u] += ug - lam * cur * user[u]
+        item[pos] += (1 - tw) * pg - lam * cur * item[pos]
+        item[neg] += -(1 - tw) * pg - lam * cur * item[neg]
+        if len(pws):
+            word[pws] += (tw / len(pws)) * pg - lam * cur * word[pws]
+        if len(nws):
+            word[nws] += -(tw / len(nws)) * pg - lam * cur * word[nws]
+        if (k + 1) % 10000 == 0:
+            cur = max(alpha * (1 - (k + 1) / samples), amin)
+    return user, item, word
+
+
+def _tpr_eval(user, item, word, g_ui, g_iw, ui2iw, test_u_vid,
+              test_i_vid, tw=0.5):
+    rng = np.random.default_rng(1)
+
+    def enrich(i):
+        j = ui2iw[i]
+        if j < 0:
+            return item[i]
+        ws = g_iw.indices[g_iw.indptr[j]:g_iw.indptr[j + 1]]
+        if len(ws) == 0:
+            return item[i]
+        return (1 - tw) * item[i] + tw * word[ws].mean(0)
+
+    sp = np.array([user[u] @ enrich(i)
+                   for u, i in zip(test_u_vid, test_i_vid)])
+    rand_items = rng.integers(0, item.shape[0], len(test_u_vid))
+    sn = np.array([user[u] @ enrich(i)
+                   for u, i in zip(test_u_vid, rand_items)])
+    return float((sp[:, None] > sn[None, :]).mean())
+
+
+def run_tpr():
+    from smore_tpu.models.cpr import TPR
+
+    ui_path, iw_path = "/tmp/oracle_tpr_ui.txt", "/tmp/oracle_tpr_iw.txt"
+    test_u, test_i = make_text_rec(ui_path, iw_path)
+    gui = _go_pronet_arrays(ui_path)
+    giw = _go_pronet_arrays(iw_path)
+    g_ui, g_iw = gui[0], giw[0]
+    ui2iw = np.array(
+        [g_iw.name2id.get(nm, -1) for nm in g_ui.names], dtype=np.int64)
+    test_u_vid = np.array([g_ui.name2id[f"u{u}"] for u in test_u])
+    test_i_vid = np.array([g_ui.name2id[f"i{i}"] for i in test_i])
+    samples, alpha, tw = 600_000, 0.025, 0.5
+    print(f"[tpr] ui {g_ui.n_vertices} vids, iw {g_iw.n_vertices}",
+          flush=True)
+
+    t0 = time.time()
+    ou, oi, ow = oracle_tpr(gui, giw, ui2iw, samples, alpha, tw=tw)
+    t_oracle = time.time() - t0
+    o_auc = _tpr_eval(ou, oi, ow, g_ui, g_iw, ui2iw, test_u_vid,
+                      test_i_vid, tw)
+
+    t0 = time.time()
+    m = TPR.load_graphs(ui_path, iw_path, seed=0, text_weight=tw)
+    m.init(dim=DIM)
+    m.train(sample_times=samples / 1e6, alpha=alpha, verbose=False)
+    t_ours = time.time() - t0
+    mu = np.zeros((g_ui.n_vertices, DIM))
+    mi = np.zeros((g_ui.n_vertices, DIM))
+    mw = np.zeros((g_iw.n_vertices, DIM))
+    for nm, vid in m.ui.name2id.items():
+        j = g_ui.name2id.get(nm)
+        if j is not None:
+            mu[j] = np.asarray(m.state["user"])[vid]
+            mi[j] = np.asarray(m.state["item"])[vid]
+    for nm, vid in m.iw.name2id.items():
+        j = g_iw.name2id.get(nm)
+        if j is not None and nm.startswith("w"):
+            mw[j] = np.asarray(m.state["word"])[vid]
+    u_auc = _tpr_eval(mu, mi, mw, g_ui, g_iw, ui2iw, test_u_vid,
+                      test_i_vid, tw)
+    print(f"{'tpr':14s} ours AUC={u_auc:.4f} ({t_ours:.0f}s) | "
+          f"oracle {o_auc:.4f} ({t_oracle:.0f}s)", flush=True)
+    return "tpr", u_auc, o_auc, None, None
 
 
 # ===================================================================== #
@@ -661,7 +1233,7 @@ def run_mp2v():
 
 def main():
     want = sys.argv[1:] or ["transe", "rotate", "complex", "sne", "ctdne",
-                            "metapath2vec"]
+                            "metapath2vec", "jodie", "han", "cpr", "tpr"]
     rows = []
     for w in want:
         if w in ("transe", "rotate", "complex"):
@@ -672,11 +1244,24 @@ def main():
             rows.append(run_ctdne())
         elif w == "metapath2vec":
             rows.append(run_mp2v())
+        elif w == "jodie":
+            rows.append(run_jodie())
+        elif w == "han":
+            rows.append(run_han())
+        elif w == "cpr":
+            rows.append(run_cpr())
+        elif w == "tpr":
+            rows.append(run_tpr())
     print("\n| model | ours | oracle (Go semantics) | metric |")
     print("|---|---|---|---|")
     for name, u, o, uh, oh in rows:
-        metric = "MRR" if uh is not None else "AUC"
-        extra = f" (hits@3 {uh:.3f} vs {oh:.3f})" if uh is not None else ""
+        if name == "jodie":
+            metric, extra = "pairwise acc", f" (ours+bce {uh:.3f})"
+        elif uh is not None and oh is not None:
+            metric = "MRR"
+            extra = f" (hits@3 {uh:.3f} vs {oh:.3f})"
+        else:
+            metric, extra = "AUC", ""
         print(f"| {name} | {u:.4f} | {o:.4f} | {metric}{extra} |")
 
 

@@ -174,7 +174,10 @@ def run_ours(model: str):
            "eco": M.ECO, "textgcn": M.TEXTGCN,
            "fine": M.FINE, "msfine": M.MSFINE,
            "textgcndev": M.TEXTGCNdev}[model]
-    g = Graph.load_edge_list(TRAIN, undirected=True)
+    # skewopt's reference CLI hardcodes DIRECTED loading
+    # (cli/skewopt.cpp:69); the others here load undirected (their CLIs
+    # pass 1 or a default-1 flag)
+    g = Graph.load_edge_list(TRAIN, undirected=model != "skewopt")
     m = cls(g, seed=0)
     if model in NEEDS_FIELD:
         m.graph.load_field_meta(FIELD)

@@ -150,6 +150,14 @@ def _hpe(argv):
 def _simple_rec(cls_name, extra=None):
     def run(argv):
         p = _base_parser(cls_name)
+        # the reference's mf/bpr/warp/skewopt CLIs HARDCODE directed
+        # loading (LoadEdgeList(file, 0) -- cli/{mf,bpr,warp}.cpp:57-63,
+        # cli/skewopt.cpp:69; there is no -undirected flag there). An
+        # undirected default silently doubles the edges and mixes
+        # item->user pairs into the ranking law -- measured recall@10
+        # cost 0.88 vs 0.92 at a 2M budget (experiments/skewopt_tune.py,
+        # round 4). Default 0 for fidelity; -undirected 1 still works.
+        p.set_defaults(undirected=0)
         for flag, typ, dv in (extra or []):
             p.add_argument(flag, type=typ, default=dv)
         a = p.parse_args(argv)

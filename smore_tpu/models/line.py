@@ -216,14 +216,15 @@ class LINE(PairModelBase):
 
     def _make_banded_multiblock_step(self, batch, negatives,
                                      shared_negatives, hoist):
-        """Pipelined MULTI-band superstep (order-2, group=1): each of the
-        ``hoist`` micro-steps works its OWN band pair inside one Pallas
-        call; band blocks stream through the grid pipeline so the
-        fetch/write-back cost hides under compute. Keeps the
-        quality-critical per-stratum visit at ``batch`` samples (40M
-        gate: AUC 0.618@2048-visits vs 0.585@16384) without the fixed
-        per-micro-step costs that made small no-hold batches slow
-        (8.6 M/s at b=2048; see PERF_NOTES round-3 sections)."""
+        """DMA-staged MULTI-band superstep (order-2, group=1): each of
+        the ``hoist`` micro-steps works its OWN band pair inside one
+        Pallas call; the tables live CONCATENATED [wv | wc] in HBM and
+        the kernel stages each step's two band slabs through VMEM
+        scratch itself (ops/pallas_sgns_banded.sgns_banded_multiblock).
+        Keeps the quality-critical per-stratum visit at ``batch``
+        samples (40M gate: AUC 0.618@2048-visits vs 0.585@16384)
+        without the fixed per-micro-step costs that made small no-hold
+        batches slow (8.6 M/s at b=2048; PERF_NOTES round-3)."""
         from smore_tpu.ops.pallas_sgns_banded import sgns_banded_multiblock
 
         band_size = self.banded_tables.band_size
@@ -231,24 +232,39 @@ class LINE(PairModelBase):
         _interp = jax.default_backend() == "cpu"
 
         def step(state, bt, key, alphas):
-            sb, db, src, pos, negs = bt.draw_banded_batches_hoisted(
-                key, batch, 1, Ks, hoist
-            )
-            wv, wc = state["vertex"], state["context"]
-            D = wc.shape[1]
-            cn = wc.at[negs.reshape(-1)].get(
+            if bt.stream is not None:
+                # pre-sampled per-stratum stream: band-LOCAL indices
+                # from one contiguous window read (the per-sample
+                # edge-row gather was 100% of the draw cost --
+                # experiments/draw_decomp.py)
+                sb, db, src_l, pos_l, negs = bt.draw_banded_stream(
+                    key, batch, Ks, hoist
+                )
+            else:
+                sb, db, src, pos, negs = bt.draw_banded_batches_hoisted(
+                    key, batch, 1, Ks, hoist
+                )
+                src_l = src - sb[:, None]
+                pos_l = pos - db[:, None]
+            wvc = state["wvc"]
+            D = wvc.shape[1] // 2
+            negs_flat = negs.reshape(-1)
+            cn = wvc.at[negs_flat].get(
                 mode="promise_in_bounds"
-            ).reshape(hoist, Ks, D)
-            wv, wc, d_neg, loss_sum = sgns_banded_multiblock(
-                wv, wc, sb // band_size, db // band_size,
-                src - sb[:, None], pos - db[:, None], cn, alphas,
+            )[:, D:].reshape(hoist, Ks, D)
+            wvc, d_neg, loss_sum = sgns_banded_multiblock(
+                wvc, sb // band_size, db // band_size,
+                src_l, pos_l, cn, alphas,
                 band_size=band_size, k_equiv=negatives,
                 interpret=_interp,
             )
-            wc = wc.at[negs.reshape(-1)].add(
-                d_neg.reshape(-1, D), mode="promise_in_bounds"
+            # deferred negative apply (context half only)
+            d = jnp.concatenate(
+                [jnp.zeros((hoist * Ks, D), wvc.dtype),
+                 d_neg.reshape(-1, D)], axis=1
             )
-            return {"vertex": wv, "context": wc}, loss_sum / (hoist * batch)
+            wvc = wvc.at[negs_flat].add(d, mode="promise_in_bounds")
+            return {"wvc": wvc}, loss_sum / (hoist * batch)
 
         return step
 
@@ -324,12 +340,18 @@ class LINE(PairModelBase):
         # experiments/band_hold_bench.py) -- so "auto" = OFF; the fused
         # Pallas band kernel is the sanctioned fast path instead
         band_size: int = 0,  # 0 = sampling.banded.DEFAULT_BAND_SIZE
-        multiband: object = "auto",  # pipelined multi-band kernel: one
-        # band pair PER MICRO-STEP streamed through the Pallas grid
-        # pipeline (sgns_banded_multiblock) -- small per-stratum visits
-        # (the quality knob) at amortized fixed cost. "auto" = off until
+        multiband: object = "auto",  # DMA-staged multi-band kernel: one
+        # band pair PER MICRO-STEP, band slabs staged by in-kernel DMA
+        # (sgns_banded_multiblock) -- small per-stratum visits (the
+        # quality knob) at amortized fixed cost. "auto" = off until
         # the measurement gates flip it; True forces it (order-2,
         # group=1, TPU/interpret).
+        edge_stream: object = "auto",  # pre-sampled per-stratum edge
+        # streams (BandedTables.build_stream): replaces the per-sample
+        # random edge-row gather (100% of the measured draw cost) with
+        # one contiguous window read per micro-step. iid pre-draws, so
+        # the per-sample law is exact; reuse across the run is the
+        # gated deviation. "auto" = on for the multiband path.
         mesh=None,
         sharding: str = "dp",
         verbose: bool = True,
@@ -460,6 +482,11 @@ class LINE(PairModelBase):
                         k: jnp.pad(v, ((0, n_pad - n), (0, 0)))
                         for k, v in self.state.items()
                     }
+                if (edge_stream is True
+                        or (edge_stream == "auto"
+                            and bt.band_size < (1 << 15))):
+                    if bt.stream is None:
+                        bt.build_stream(seed=self.seed)
                 step_fn = self._make_banded_multiblock_step(
                     batch, negative_samples, shared_negatives, hoist
                 )
@@ -473,8 +500,19 @@ class LINE(PairModelBase):
                     micro_steps=hoist,
                     **self._ckpt_kw(),
                 )
-                out = driver.train(state, self._key(), verbose=verbose)
-                self.state = {k: v[:n] for k, v in out.items()}
+                # concat [wv | wc] layout: one 2D-wide table so the
+                # kernel's HBM band slices are 128-lane aligned
+                wvc0 = jnp.concatenate(
+                    [state["vertex"], state["context"]], axis=1
+                )
+                out = driver.train(
+                    {"wvc": wvc0}, self._key(), verbose=verbose
+                )
+                dim = self.dim
+                self.state = {
+                    "vertex": out["wvc"][:n, :dim],
+                    "context": out["wvc"][:n, dim:],
+                }
                 return
             use_hold = band_hold is True and self.order == 2 and hoist > 1
             if use_hold:

@@ -16,7 +16,12 @@ import numpy as np
 
 from smore_tpu.graph.hetero import HeteroGraph, HeteroTables
 from smore_tpu.io.embeddings import save_embeddings
-from smore_tpu.models.base import TrainDriver, init_embedding, zeros_embedding
+from smore_tpu.models.base import (
+    TrainDriver,
+    freshness_policy,
+    init_embedding,
+    zeros_embedding,
+)
 from smore_tpu.ops.update import sgns_shared_negs_step
 from smore_tpu.sampling.mappers import skipgram_pairs
 
@@ -81,10 +86,18 @@ class Metapath2Vec:
             src, pos, mask = skipgram_pairs(walk, k4, window, valid=valid)
             # uniform^0.75 == uniform negatives (metapath2vec.go:139-145)
             negs = jax.random.randint(k5, (shared_negatives,), 0, n)
-            wv, wc, loss = sgns_shared_negs_step(
-                state["vertex"], state["context"], src, pos, negs, alpha,
-                k_equiv=negatives, mask=mask, collision=collision,
-            )
+            wv, wc = state["vertex"], state["context"]
+            # inner_passes > 1 (truncated-budget freshness policy, set in
+            # train()): re-evaluate gradients at the updated tables on
+            # the SAME samples, alpha split across passes -- restores the
+            # reference's sequential per-pair bootstrap dynamics
+            # (models/walk_base.py rationale; metapath2vec.go:292-316)
+            passes = int(getattr(self, "inner_passes", 1))
+            for _ in range(passes):
+                wv, wc, loss = sgns_shared_negs_step(
+                    wv, wc, src, pos, negs, alpha / passes,
+                    k_equiv=negatives, mask=mask, collision=collision,
+                )
             return {"vertex": wv, "context": wc}, loss
 
         return step
@@ -109,13 +122,24 @@ class Metapath2Vec:
             raise ValueError(
                 "no meta-paths defined; call add_meta_path() first"
             )
+        total = walk_times * self.hg.n_vertices
+        bw2, _ = freshness_policy(total, batch_walks, 1)
+        if bw2 != batch_walks:
+            # truncated-budget regime: shrink the per-update batch and
+            # re-evaluate each batch inner_passes times (walk_base.py
+            # policy, extended here per VERDICT r3 item 5 -- mp2v sat
+            # 0.911 vs its sequential oracle's 0.962 on batched-staleness)
+            batch_walks = bw2
+            if getattr(self, "inner_passes", 0) in (0, 1):
+                self.inner_passes = 4
+                alpha = alpha * 2.0
         driver = TrainDriver(
             self._make_step(batch_walks, walk_steps, window_size,
                             negative_samples, shared_negatives, collision),
             ctx=self._make_ctx(),
             samples_per_step=batch_walks,
             alpha=alpha,
-            total_samples=walk_times * self.hg.n_vertices,
+            total_samples=total,
             steps_per_call=steps_per_call,
             checkpoint_path=checkpoint,
             checkpoint_every=checkpoint_every,

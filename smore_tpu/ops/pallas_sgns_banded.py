@@ -122,41 +122,82 @@ def _make_kernel(mode: str):
     return _kernel
 
 
-def _make_multi_kernel():
-    """Multi-band variant: grid (S, B//TB); micro-step s works band pair
-    (sb_idx[s], db_idx[s]) whose blocks Pallas streams HBM<->VMEM via
-    the grid pipeline -- the band fetch/write-back overlaps compute, so
-    SMALL per-stratum batches (the quality-critical knob: 40M-gate AUC
-    0.618@2048 vs 0.585@16384 visit sizes) keep big-batch throughput."""
+def _make_multi_kernel(band_size: int, D: int):
+    """Multi-band variant: grid (S,); micro-step s works band pair
+    (sb_idx[s], db_idx[s]). The two tables live CONCATENATED along
+    features -- wvc = [w_vertex | w_context], (N_pad, 2D) -- in
+    compiler-chosen (HBM) memory; the kernel DMAs each step's two band
+    SLABS (full 2D-wide rows, so the HBM slice is 128-lane aligned at
+    D=64) into VMEM scratch, computes the fused SGNS update on static
+    half-slices, and DMAs the slabs back. This replaces the round-3
+    BlockSpec grid pipeline, whose Mosaic staging allocated ~16
+    band-block buffers (in+out of both tables, double-buffered) and
+    scoped-VMEM-OOMed at every band size (PERF_NOTES round-3 closing):
+    manual DMA needs exactly TWO slab buffers.
+
+    The write-back wait at the end of each grid step makes band
+    revisits (step s+1 drawing the same stratum) correct by
+    construction: the next fetch cannot start before this step's
+    write-back completed. When a step's OWN band pair coincides
+    (sb == db), the vertex-half updates of slab A are merged into slab
+    B and only B is written back."""
 
     def _kernel(sb_ref, db_ref, src_ref, pos_ref, params_ref,
-                wv_in, wc_in, cn_ref,
-                wv_ref, wc_ref, dneg_ref, loss_ref, v_s, cp_s, acc,
-                lsum):
+                wvc_in, cn_ref,
+                wvc_ref, dneg_ref, loss_ref,
+                slab_v, slab_c, v_s, cp_s, lsum, sems):
         s = pl.program_id(0)
-        i = pl.program_id(1)
+        i = pl.program_id(1)  # inner tile of the micro-step's batch
         n_s = pl.num_programs(0)
         n_i = pl.num_programs(1)
         alpha = params_ref[s, 0]
         scale = params_ref[s, 1]
         kscale = params_ref[s, 2]
-        tb = v_s.shape[0]
-        B = n_i * tb
-        base = s * B + i * tb
+        TB = v_s.shape[0]
+        base = (s * n_i + i) * TB
+        off_v = sb_ref[s] * band_size
+        off_c = db_ref[s] * band_size
+        same = off_v == off_c
 
+        @pl.when(i == 0)
+        def _():
+            in_v = pltpu.make_async_copy(
+                wvc_ref.at[pl.ds(off_v, band_size), :], slab_v,
+                sems.at[0]
+            )
+            in_c = pltpu.make_async_copy(
+                wvc_ref.at[pl.ds(off_c, band_size), :], slab_c,
+                sems.at[1]
+            )
+            in_v.start()
+            in_c.start()
+            in_v.wait()
+            in_c.wait()
+
+        @pl.when(jnp.logical_and(s == 0, i == 0))
+        def _():
+            lsum[0, 0] = 0.0
+
+        # ---- gather: band rows -> scratch tiles (serial VMEM reads).
+        # FULL 2D-wide rows are copied (no lane slicing inside the
+        # serial loop -- dynamic-sublane + static-lane slices cost ~2.5x
+        # per op); the halves are separated vectorized afterwards.
         def gbody(j, _):
             j0 = j * _U
             for k in range(_U):
                 r = src_ref[base + j0 + k]
-                v_s[pl.ds(j0 + k, 1), :] = wv_ref[pl.ds(r, 1), :]
+                v_s[pl.ds(j0 + k, 1), :] = slab_v[pl.ds(r, 1), :]
                 r2 = pos_ref[base + j0 + k]
-                cp_s[pl.ds(j0 + k, 1), :] = wc_ref[pl.ds(r2, 1), :]
+                cp_s[pl.ds(j0 + k, 1), :] = slab_c[pl.ds(r2, 1), :]
             return 0
 
-        jax.lax.fori_loop(0, tb // _U, gbody, 0, unroll=1)
+        jax.lax.fori_loop(0, TB // _U, gbody, 0, unroll=1)
 
-        v = v_s[:]
-        cp = cp_s[:]
+        # ---- fused SGNS gradient math (VPU + MXU) ----
+        # vertex rows live in the LEFT half of slab_v rows; positive
+        # context rows in the RIGHT half of slab_c rows
+        v = v_s[:, 0:D]
+        cp = cp_s[:, D:2 * D]
         cn = cn_ref[0]
         s_pos = jax.nn.sigmoid(jnp.sum(v * cp, axis=1, keepdims=True))
         g_pos = (1.0 - s_pos) * alpha
@@ -165,43 +206,71 @@ def _make_multi_kernel():
         )
         g_neg = s_neg * (-scale)
 
-        @pl.when(jnp.logical_and(s == 0, i == 0))
-        def _():
-            lsum[0, 0] = 0.0
-
-        @pl.when(i == 0)
-        def _():
-            acc[:] = jnp.zeros_like(acc)
-
         eps = 1e-7
         lsum[0, 0] += jnp.sum(-jnp.log(s_pos + eps)) - kscale * jnp.sum(
             jnp.log(1.0 - s_neg + eps)
         )
-        acc[:] += jnp.dot(g_neg.T, v, preferred_element_type=jnp.float32)
 
-        cp_s[:] = g_pos * cp + jnp.dot(
+        @pl.when(i == 0)
+        def _():
+            dneg_ref[0] = jnp.zeros_like(dneg_ref[0])
+
+        dneg_ref[0] += jnp.dot(
+            g_neg.T, v, preferred_element_type=jnp.float32
+        )
+
+        # overwrite scratch with FULL-row deltas whose inactive half is
+        # zero, so the serial scatter is a plain full-row RMW (adding
+        # zero to the untouched half) with no lane slicing
+        zeros = jnp.zeros((v.shape[0], D), jnp.float32)
+        d_src = g_pos * cp + jnp.dot(
             g_neg, cn, preferred_element_type=jnp.float32
         )
-        v_s[:] = g_pos * v
+        d_pos = g_pos * v
+        v_s[:] = jnp.concatenate([d_src, zeros], axis=1)
+        cp_s[:] = jnp.concatenate([zeros, d_pos], axis=1)
 
+        # ---- scatter: serial full-row RMW into the VMEM slabs ----
         def sbody(j, _):
             j0 = j * _U
             for k in range(_U):
                 r = src_ref[base + j0 + k]
-                wv_ref[pl.ds(r, 1), :] = (
-                    wv_ref[pl.ds(r, 1), :] + cp_s[pl.ds(j0 + k, 1), :]
+                slab_v[pl.ds(r, 1), :] = (
+                    slab_v[pl.ds(r, 1), :] + v_s[pl.ds(j0 + k, 1), :]
                 )
                 r2 = pos_ref[base + j0 + k]
-                wc_ref[pl.ds(r2, 1), :] = (
-                    wc_ref[pl.ds(r2, 1), :] + v_s[pl.ds(j0 + k, 1), :]
+                slab_c[pl.ds(r2, 1), :] = (
+                    slab_c[pl.ds(r2, 1), :] + cp_s[pl.ds(j0 + k, 1), :]
                 )
             return 0
 
-        jax.lax.fori_loop(0, tb // _U, sbody, 0, unroll=1)
+        jax.lax.fori_loop(0, TB // _U, sbody, 0, unroll=1)
+
+        # ---- write-back (last inner tile only). sb == db: both slabs
+        # are copies of the same rows (vertex deltas landed in slab_v,
+        # context deltas in slab_c); merge the vertex half into slab_c
+        # and write only it.
+        @pl.when(jnp.logical_and(i == n_i - 1, same))
+        def _():
+            slab_c[:, 0:D] = slab_v[:, 0:D]
+
+        @pl.when(jnp.logical_and(i == n_i - 1, jnp.logical_not(same)))
+        def _():
+            out_v = pltpu.make_async_copy(
+                slab_v, wvc_ref.at[pl.ds(off_v, band_size), :],
+                sems.at[2]
+            )
+            out_v.start()
+            out_v.wait()
 
         @pl.when(i == n_i - 1)
         def _():
-            dneg_ref[0] = acc[:]
+            out_c = pltpu.make_async_copy(
+                slab_c, wvc_ref.at[pl.ds(off_c, band_size), :],
+                sems.at[3]
+            )
+            out_c.start()
+            out_c.wait()
 
         @pl.when(jnp.logical_and(s == n_s - 1, i == n_i - 1))
         def _():
@@ -214,8 +283,7 @@ def _make_multi_kernel():
     jax.jit, static_argnames=("band_size", "k_equiv", "interpret")
 )
 def sgns_banded_multiblock(
-    w_vertex: jnp.ndarray,  # (Np, D) FULL padded vertex table (HBM)
-    w_context: jnp.ndarray,  # (Np, D) FULL padded context table
+    wvc: jnp.ndarray,  # (Np, 2D) FULL padded CONCAT table [wv | wc]
     sb_idx: jnp.ndarray,  # (S,) i32 source BAND INDICES per micro-step
     db_idx: jnp.ndarray,  # (S,) i32 context band indices
     src_l: jnp.ndarray,  # (S, B) i32 band-LOCAL source rows
@@ -228,15 +296,22 @@ def sgns_banded_multiblock(
     interpret: bool = False,
 ):
     """S micro-steps, each on its OWN band pair, in one pallas_call:
-    band blocks stream through the grid pipeline (fetch/write-back
-    overlapped with the serial row ops + MXU math). Both tables donated.
-    Returns (w_vertex', w_context', d_neg (S, Ks, D), loss_sum ())."""
+    the concat table stays in HBM and each step's band pair is staged
+    through two VMEM slab buffers by in-kernel DMA (_make_multi_kernel).
+    The concat layout makes every HBM slice 2D = 128 lanes wide at the
+    flagship D=64 (Mosaic requires 128-aligned HBM slices). Table
+    donated. Returns (wvc', d_neg (S, Ks, D), loss_sum ())."""
     S, B = src_l.shape
-    D = w_vertex.shape[1]
+    D2 = wvc.shape[1]
+    D = D2 // 2
     Ks = cn.shape[1]
-    TB = min(1024, B)  # smaller tile than the single-band kernel: the
-    # pipelined band blocks already eat most of the VMEM budget
+    TB = min(2048, B)  # inner tile: the (TB, D2) gather/delta scratch
+    # tiles must fit beside the two band slabs
     assert B % TB == 0 and TB % _U == 0, (B, TB)
+    assert D2 % 128 == 0 or interpret, (
+        "multiblock kernel needs concat rows that are a multiple of 128 "
+        "lanes (D multiple of 64)"
+    )
 
     alphas = jnp.asarray(alpha, jnp.float32).reshape(S)
     params = jnp.stack(
@@ -248,51 +323,42 @@ def sgns_banded_multiblock(
         num_scalar_prefetch=5,
         grid=(S, B // TB),
         in_specs=[
-            pl.BlockSpec((band_size, D),
-                         lambda s, i, sb, db, *_: (sb[s], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((band_size, D),
-                         lambda s, i, sb, db, *_: (db[s], 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, Ks, D), lambda s, i, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((band_size, D),
-                         lambda s, i, sb, db, *_: (sb[s], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((band_size, D),
-                         lambda s, i, sb, db, *_: (db[s], 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, Ks, D), lambda s, i, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda s, i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TB, D), jnp.float32),
-            pltpu.VMEM((TB, D), jnp.float32),
-            pltpu.VMEM((Ks, D), jnp.float32),
+            pltpu.VMEM((band_size, D2), jnp.float32),  # source slab
+            pltpu.VMEM((band_size, D2), jnp.float32),  # context slab
+            pltpu.VMEM((TB, D2), jnp.float32),  # gathered full src rows
+            pltpu.VMEM((TB, D2), jnp.float32),  # gathered full ctx rows
             pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
-    wv2, wc2, d_neg, loss = pl.pallas_call(
-        _make_multi_kernel(),
+    wvc2, d_neg, loss = pl.pallas_call(
+        _make_multi_kernel(band_size, D),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct(w_vertex.shape, jnp.float32),
-            jax.ShapeDtypeStruct(w_context.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wvc.shape, jnp.float32),
             jax.ShapeDtypeStruct((S, Ks, D), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         # operand numbering includes the 5 scalar-prefetch args
-        input_output_aliases={5: 0, 6: 1},
+        input_output_aliases={5: 0},
         interpret=interpret,
     )(sb_idx.astype(jnp.int32), db_idx.astype(jnp.int32),
       src_l.reshape(-1).astype(jnp.int32),
       pos_l.reshape(-1).astype(jnp.int32), params,
-      w_vertex, w_context, cn)
-    return wv2, wc2, d_neg, loss[0, 0]
+      wvc, cn)
+    return wvc2, d_neg, loss[0, 0]
 
 
 @functools.partial(

@@ -83,14 +83,15 @@ DEFAULT_BAND_SIZE = 32776
 # mass is unchanged.
 FUSED_BAND_SIZE = 16392
 
-# Band size for the MULTI-band pipelined kernel (sgns_banded_multiblock):
-# each micro-step's band pair streams HBM<->VMEM through the grid
-# pipeline; Mosaic stages the aliased in AND out blocks of both tables
-# double-buffered (8 block buffers), so the band must be small --
-# measured scoped-vmem usage fits ~16.2 band-block buffers (34.28 MB at
-# band 8200, 17.28 MB at 4104 -> still OOM): band <= ~3850.
-# 3208 = 8 * 401 (2-adic factor 2^3 only).
-MULTI_BAND_SIZE = 3208
+# Band size for the MULTI-band DMA-staged kernel (sgns_banded_multiblock,
+# round 4): the tables live concatenated [wv | wc] (N_pad, 2D) and the
+# kernel DMAs each micro-step's two band SLABS into two VMEM scratch
+# buffers itself (the round-3 grid-pipeline variant OOMed at every band
+# size because Mosaic staged ~16 band-block buffers). VMEM cost =
+# 2 * band * 2D * 4 B = band * 1 KB at D=64; 8200 = 8 * 5^2 * 41
+# (2-adic factor 2^3 only, same de-aliasing rule as above) uses 8.4 MB
+# of the ~16 MB budget, leaving room for the gather/delta tiles.
+MULTI_BAND_SIZE = 8200
 
 
 @jax.tree_util.register_pytree_node_class
@@ -120,17 +121,25 @@ class BandedTables:
     n_rows_padded: int
     n_bands: int
     two_d: bool
+    # optional pre-sampled edge STREAM (build_stream): per stratum, a
+    # contiguous run of iid pre-drawn (src, pos) pairs packed band-local
+    # as (src_l << 16) | pos_l. stream_meta: (n_strata, 2) i32
+    # [offset, length]. None when not built.
+    stream: jnp.ndarray | None = None
+    stream_meta: jnp.ndarray | None = None
 
     def tree_flatten(self):
         children = (self.band_pa, self.band_meta, self.edge_pa,
-                    self.edge_seg, self.ctx_pa, self.neg_pa)
+                    self.edge_seg, self.ctx_pa, self.neg_pa,
+                    self.stream, self.stream_meta)
         return children, (self.band_size, self.n_rows_padded,
                           self.n_bands, self.two_d)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, band_size=aux[0], n_rows_padded=aux[1],
-                   n_bands=aux[2], two_d=aux[3])
+        return cls(*children[:6], band_size=aux[0], n_rows_padded=aux[1],
+                   n_bands=aux[2], two_d=aux[3], stream=children[6],
+                   stream_meta=children[7])
 
     # ------------------------------------------------------------------ #
     @staticmethod
@@ -245,6 +254,108 @@ class BandedTables:
             n_bands=n_bands,
             two_d=two_d,
         )
+
+    # ------------------------------------------------------------------ #
+    def build_stream(self, mult: int = 4, min_len: int = 4096,
+                     seed: int = 0) -> "BandedTables":
+        """Pre-sample per-stratum edge STREAMS on the host.
+
+        Measured motivation (experiments/draw_decomp.py, round 4): the
+        hoisted banded draw is 100% bound by the per-sample random 32-B
+        edge-row gather (437 of 439 us at batch 32768; RNG is 13 us).
+        This replaces the per-sample gather with ONE contiguous window
+        read: for each stratum, draw max(mult * cnt_s, min_len) iid
+        samples from the exact within-stratum alias law ONCE at build
+        time (vectorized numpy); a training micro-step then reads a
+        random contiguous window of its stratum's stream.
+
+        Law: every stream entry is an iid draw from the stratum's edge
+        law, so the per-sample marginal of ANY window is exactly the
+        alias law; the window choice only selects WHICH iid pre-draws
+        get used (bootstrap-style reuse across the run). What changes
+        vs fresh draws is sample-diversity over the whole run (entries
+        can repeat, the multiset is finite) -- a variance effect gated
+        by the 40M/400M community-AUC parity runs like every banded
+        config. Entries are packed band-local as (src_l << 16) | pos_l
+        (requires band_size < 32768 for signed-shift safety).
+        """
+        if self.band_size >= (1 << 15):
+            raise ValueError("edge stream needs band_size < 32768")
+        rng = np.random.default_rng(seed)
+        meta = np.asarray(self.band_meta, np.int64)
+        off, cnt = meta[:, 0], meta[:, 1]
+        ns = len(cnt)
+        ep = np.asarray(self.edge_pa, np.float64)
+        prob, esrc, edst = ep[:, 0], ep[:, 1], ep[:, 2]
+        asrc, adst = ep[:, 3], ep[:, 4]
+
+        L = np.where(cnt > 0, np.maximum(mult * cnt, min_len), 0)
+        soff = np.concatenate([[0], np.cumsum(L)])[:-1]
+        total = int(L.sum())
+        sid = np.repeat(np.arange(ns), L)
+        u1 = rng.random(total)
+        u2 = rng.random(total)
+        r = (u1 * cnt[sid]).astype(np.int64)
+        slot = off[sid] + np.minimum(r, np.maximum(cnt[sid] - 1, 0))
+        take = u2 < prob[slot]
+        src = np.where(take, esrc[slot], asrc[slot]).astype(np.int64)
+        pos = np.where(take, edst[slot], adst[slot]).astype(np.int64)
+        if self.two_d:
+            sb = (sid // self.n_bands) * self.band_size
+            db = (sid % self.n_bands) * self.band_size
+        else:
+            sb = np.zeros(total, np.int64)
+            db = sid * self.band_size
+        packed = ((src - sb) << 16) | (pos - db)
+        self.stream = jnp.asarray(packed, jnp.int32)
+        self.stream_meta = jnp.asarray(
+            np.stack([soff, L], 1), jnp.int32)
+        return self
+
+    def draw_banded_stream(
+        self, key: jax.Array, batch: int, n_negs: int, steps: int,
+    ):
+        """Stream-backed hoisted draw: per micro-step, one stratum
+        alias draw + one contiguous window of its pre-sampled stream
+        (build_stream). Returns (sb, db, src_l, pos_l, negs) with
+        src/pos BAND-LOCAL, shapes as draw_banded_batches_hoisted."""
+        kb, ko, kn = jax.random.split(key, 3)
+
+        ub = jax.random.uniform(kb, (steps, 2))
+        ns = self.band_pa.shape[0]
+        i = jnp.minimum((ub[:, 0] * ns).astype(jnp.int32), ns - 1)
+        brow = self.band_pa.at[i].get(mode="promise_in_bounds")
+        s = jnp.where(ub[:, 1] < brow[:, 0], i,
+                      brow[:, 1].astype(jnp.int32))
+        meta = self.stream_meta.at[s].get(mode="promise_in_bounds")
+        soff, slen = meta[:, 0], meta[:, 1]
+        if self.two_d:
+            sb = (s // self.n_bands) * self.band_size
+            db = (s % self.n_bands) * self.band_size
+        else:
+            sb = jnp.zeros((steps,), jnp.int32)
+            db = s * self.band_size
+
+        uo = jax.random.uniform(ko, (steps,))
+        start = soff + (
+            uo * jnp.maximum(slen - batch + 1, 1).astype(jnp.float32)
+        ).astype(jnp.int32)
+        idx = start[:, None] + jnp.arange(batch, dtype=jnp.int32)[None]
+        packed = self.stream.at[idx.reshape(-1)].get(
+            mode="promise_in_bounds"
+        ).reshape(steps, batch)
+        src_l = packed >> 16
+        pos_l = packed & 0xFFFF
+
+        un = jax.random.uniform(kn, (steps, n_negs, 2))
+        n = self.neg_pa.shape[0]
+        j = jnp.minimum((un[:, :, 0] * n).astype(jnp.int32), n - 1)
+        nrow = self.neg_pa.at[j.reshape(-1)].get(
+            mode="promise_in_bounds"
+        ).reshape(steps, n_negs, -1)
+        negs = jnp.where(un[:, :, 1] < nrow[:, :, 0], j,
+                         nrow[:, :, 1].astype(jnp.int32))
+        return sb, db, src_l, pos_l, negs
 
     # ------------------------------------------------------------------ #
     def draw_banded_batch(

@@ -107,25 +107,27 @@ def test_multiblock_equals_sequential_fused_steps(comm_graph):
     assert n_pad // BAND >= 3
     key = jax.random.PRNGKey(5)
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    D, B, Ks, S = 64, 64, 8, 3
+    D, B, Ks, S = 64, 64, 8, 4
     wv = jax.random.normal(k1, (n_pad, D)) * 0.1
     wc = jax.random.normal(k2, (n_pad, D)) * 0.1
-    # step band pairs (src band, dst band), with step 2 REVISITING
-    # step 0's pair
-    sb_idx = jnp.asarray([1, 2, 1], jnp.int32)
-    db_idx = jnp.asarray([2, 1, 2], jnp.int32)
+    # step band pairs (src band, dst band): step 2 REVISITS step 0's
+    # pair; step 3 has sb == db (the slab-merge write-back path)
+    sb_idx = jnp.asarray([1, 2, 1, 2], jnp.int32)
+    db_idx = jnp.asarray([2, 1, 2, 2], jnp.int32)
     src_l = jax.random.randint(k3, (S, B), 0, BAND)
     pos_l = jax.random.randint(k4, (S, B), 0, BAND)
     # negatives: band 0 rows (outside all active bands), disjoint per step
     negs = jnp.arange(S * Ks, dtype=jnp.int32).reshape(S, Ks)
     assert int(negs.max()) < BAND
-    alphas = jnp.float32([0.05, 0.04, 0.03])
+    alphas = jnp.float32([0.05, 0.04, 0.03, 0.03])
 
     cn = wc[negs.reshape(-1)].reshape(S, Ks, D)
-    gv, gc, d_neg, _ = sgns_banded_multiblock(
-        wv, wc, sb_idx, db_idx, src_l, pos_l, cn, alphas,
+    wvc = jnp.concatenate([wv, wc], axis=1)
+    wvc2, d_neg, _ = sgns_banded_multiblock(
+        wvc, sb_idx, db_idx, src_l, pos_l, cn, alphas,
         band_size=BAND, interpret=True,
     )
+    gv, gc = wvc2[:, :D], wvc2[:, D:]
     gc = gc.at[negs.reshape(-1)].add(d_neg.reshape(-1, D))
 
     rv, rc = wv, wc
