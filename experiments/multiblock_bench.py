@@ -60,8 +60,10 @@ def main():
         run(4096, 16, 8200, 100, stream=True)
         run(2048, 16, 8200, 100, stream=False)
     if "quality" in want:
-        run(2048, 16, 8200, 40, quality=True, stream=True)
-        run(2048, 16, 8200, 400, quality=True, stream=True)
+        run(2048, 32, 8200, 40, quality=True, stream=True)
+        run(4096, 16, 8200, 40, quality=True, stream=True)
+        run(2048, 32, 8200, 400, quality=True, stream=True)
+        run(4096, 16, 8200, 400, quality=True, stream=True)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,54 @@ def community_walk_pairs(tables, key, src, pos, walk_steps: int):
     return vtx.reshape(-1), walk.reshape(-1), alive.reshape(-1)
 
 
+def build_walk_bank(tables, key, n_vertices: int, k: int,
+                    walk_steps: int) -> jnp.ndarray:
+    """Pre-draw k community-walk extensions per START vertex, ONCE.
+
+    HPE's per-sample cost is dominated by the walk generation's
+    walk_steps-1 sequential dependent target-draws (PERF_NOTES round-3:
+    batch-insensitive 2.2-2.5 M samples/s). Walks depend only on the
+    graph, so they can be drawn up front (one batched device call) and
+    REUSED: a training sample then fetches one pre-drawn (walk_steps-1,)
+    extension row with a single gather. Per-walk law is exact (each bank
+    entry is an iid draw of proNet::RandomWalk's law from that start);
+    the deviation is bootstrap reuse among k walks per start vertex,
+    gated by the bpr_parity/longtail HPE quality rows.
+
+    Returns (N, k, walk_steps-1) int32 with bit 30 set on INVALID
+    positions (past the first dead end)."""
+    S = walk_steps - 1
+    starts = jnp.repeat(jnp.arange(n_vertices, dtype=jnp.int32), k)
+    walk, _ = random_walk(
+        tables, key, starts, S, restart_on_deadend=False
+    )  # (N*k, S+1) incl. the start column
+    deg = tables.vert_meta.at[walk].get(mode="promise_in_bounds")[..., 1]
+    valid = jnp.cumprod((deg[:, :-1] > 0).astype(jnp.int32), axis=1)
+    entries = walk[:, 1:] | ((1 - valid) << 30)
+    return entries.reshape(n_vertices, k, S)
+
+
+def community_walk_pairs_bank(bank, key, src, pos, walk_steps: int):
+    """community_walk_pairs drawing the walk extension from a pre-drawn
+    bank (build_walk_bank): one (walk_steps-1,)-row gather per sample
+    instead of walk_steps-1 dependent alias-draw rounds."""
+    B = src.shape[0]
+    if walk_steps <= 1:
+        return src, pos, jnp.ones((B,), dtype=jnp.float32)
+    k = bank.shape[1]
+    r = jax.random.randint(key, (B,), 0, k)
+    rows = bank[pos, r]  # (B, S-1)
+    vids = rows & ((1 << 30) - 1)
+    valid = 1 - (rows >> 30)
+    walk = jnp.concatenate([pos[:, None], vids], axis=1)
+    alive = jnp.concatenate(
+        [jnp.ones((B, 1), jnp.float32), valid.astype(jnp.float32)],
+        axis=1,
+    )
+    vtx = jnp.broadcast_to(src[:, None], walk.shape)
+    return vtx.reshape(-1), walk.reshape(-1), alive.reshape(-1)
+
+
 class HPE(PairModelBase):
     def __init__(self, graph, seed: int = 0):
         super().__init__(graph, seed)
@@ -71,11 +119,15 @@ class HPE(PairModelBase):
         self.build_sampler()
 
     def _make_step(self, batch, negatives, shared_negatives, collision,
-                   hoist=1):
+                   hoist=1, use_bank=False):
         S = self.walk_steps
         reg = self.reg
 
-        def draw(tables, key, n, n_negs):
+        def draw(ctx, key, n, n_negs):
+            # ctx = (tables, walk bank | None); the bank is a device
+            # array and must arrive via ctx, not closure (closures bake
+            # arrays into the executable -- verify-skill gotcha)
+            tables, bank = ctx
             k1, k2, k3, k4 = jax.random.split(key, 4)
             if tables.has_edge_table:
                 src, pos = tables.edge_sample(k1, (n,))
@@ -83,7 +135,14 @@ class HPE(PairModelBase):
                 src = tables.source_sample(k1, (n,))
                 pos = tables.target_sample(k2, src)
             negs = tables.negative_sample(k3, (n_negs,))
-            cv, cc, cmask = community_walk_pairs(tables, k4, src, pos, S)
+            if use_bank:
+                cv, cc, cmask = community_walk_pairs_bank(
+                    bank, k4, src, pos, S
+                )
+            else:
+                cv, cc, cmask = community_walk_pairs(
+                    tables, k4, src, pos, S
+                )
             return src, pos, negs, cv, cc, cmask
 
         def update(state, x, alpha):
@@ -141,6 +200,12 @@ class HPE(PairModelBase):
         hoist: int = 0,  # mega-draw for N batches (identical law; see
         # models/line.py). 0 = auto: 8 single-stream (draw amortization,
         # experiments/hoist_breadth.py), 1 otherwise.
+        walk_bank: int = 16,  # pre-draw this many community-walk
+        # extensions per start vertex ONCE (build_walk_bank) and reuse
+        # them -- removes the walk_steps-1 sequential dependent
+        # alias-draw rounds that bound HPE at 2.2-2.5 M samples/s
+        # (PERF_NOTES round-3). Per-walk law exact; reuse gated by the
+        # bpr_parity HPE quality row. 0 = fresh walks every step.
         verbose: bool = True,
     ) -> None:
         self.walk_steps = walk_steps
@@ -148,10 +213,17 @@ class HPE(PairModelBase):
         if hoist == 0:
             hoist = 8
         batch = clamp_batch(self.graph.n_vertices, batch)
+        tables = self.build_sampler()
+        bank = None
+        if walk_bank > 0 and walk_steps > 1:
+            bank = build_walk_bank(
+                tables, jax.random.fold_in(self._key(), 77),
+                self.graph.n_vertices, walk_bank, walk_steps,
+            )
         driver = TrainDriver(
             self._make_step(batch, negative_samples, shared_negatives,
-                            collision, hoist),
-            ctx=self.build_sampler(),
+                            collision, hoist, use_bank=bank is not None),
+            ctx=(tables, bank),
             samples_per_step=batch * hoist,
             alpha=alpha,
             total_samples=int(sample_times * 1_000_000),
