@@ -213,18 +213,29 @@ def main():
                               "gcn"]
     rows = []
     for model in models:
+        t0 = time.time()
         ue, ie = run_ours(model)
+        t_ours = time.time() - t0
         auc, rec = evaluate(ue, ie)
+        t0 = time.time()
         ue_r, ie_r = run_reference(model)
+        t_ref = time.time() - t0
         auc_r, rec_r = evaluate(ue_r, ie_r)
-        rows.append((model, auc, rec, auc_r, rec_r))
-        print(f"{model:8s} ours: AUC={auc:.4f} r@10={rec:.4f}   "
-              f"ref: AUC={auc_r:.4f} r@10={rec_r:.4f}", flush=True)
-    print("\n| model | ours AUC | ours r@10 | ref AUC | ref r@10 |")
-    print("|---|---|---|---|---|")
+        # ours wall includes a warm/compile train(sample_times=1) call;
+        # the per-model "ours M/s" print from run_ours is the steady rate
+        rows.append((model, auc, rec, auc_r, rec_r,
+                     SAMPLE_TIMES / t_ours, SAMPLE_TIMES / t_ref))
+        print(f"{model:8s} ours: AUC={auc:.4f} r@10={rec:.4f} "
+              f"({SAMPLE_TIMES/t_ours:.1f} M/s wall)  "
+              f"ref: AUC={auc_r:.4f} r@10={rec_r:.4f} "
+              f"({SAMPLE_TIMES/t_ref:.2f} M/s all-core)", flush=True)
+    print("\n| model | ours AUC | ours r@10 | ref AUC | ref r@10 "
+          "| ours M/s | ref M/s | multiple |")
+    print("|---|---|---|---|---|---|---|---|")
     for r in rows:
         print(f"| {r[0]} | {r[1]:.4f} | {r[2]:.4f} | {r[3]:.4f} "
-              f"| {r[4]:.4f} |")
+              f"| {r[4]:.4f} | {r[5]:.1f} | {r[6]:.2f} "
+              f"| {r[5]/max(r[6],1e-9):.0f}x |")
 
 
 if __name__ == "__main__":

@@ -218,13 +218,15 @@ class LINE(PairModelBase):
                                      shared_negatives, hoist):
         """DMA-staged MULTI-band superstep (order-2, group=1): each of
         the ``hoist`` micro-steps works its OWN band pair inside one
-        Pallas call; the tables live CONCATENATED [wv | wc] in HBM and
-        the kernel stages each step's two band slabs through VMEM
+        Pallas call; the tables live 2-ROW-FOLDED ((N_pad/2, 2D), so
+        HBM band slices are 128-lane aligned at half the slab bytes)
+        and the kernel stages each step's two band slabs through VMEM
         scratch itself (ops/pallas_sgns_banded.sgns_banded_multiblock).
-        Keeps the quality-critical per-stratum visit at ``batch``
-        samples (40M gate: AUC 0.618@2048-visits vs 0.585@16384)
-        without the fixed per-micro-step costs that made small no-hold
-        batches slow (8.6 M/s at b=2048; PERF_NOTES round-3)."""
+        Keeps the quality-critical per-stratum CONCENTRATION at the
+        proven visit-2048/band-16392 ratio (40M gate: AUC 0.618 there
+        vs 0.599 at band 8200 -- round-4 ablation) without the fixed
+        per-micro-step costs that made small no-hold batches slow
+        (8.6 M/s at b=2048; PERF_NOTES round-3)."""
         from smore_tpu.ops.pallas_sgns_banded import sgns_banded_multiblock
 
         band_size = self.banded_tables.band_size
@@ -246,25 +248,31 @@ class LINE(PairModelBase):
                 )
                 src_l = src - sb[:, None]
                 pos_l = pos - db[:, None]
-            wvc = state["wvc"]
-            D = wvc.shape[1] // 2
+            wvf, wcf = state["wvf"], state["wcf"]
+            D = wvf.shape[1] // 2
             negs_flat = negs.reshape(-1)
-            cn = wvc.at[negs_flat].get(
-                mode="promise_in_bounds"
-            )[:, D:].reshape(hoist, Ks, D)
-            wvc, d_neg, loss_sum = sgns_banded_multiblock(
-                wvc, sb // band_size, db // band_size,
+            fn = negs_flat >> 1
+            par = (negs_flat & 1)[:, None]
+            rows = wcf.at[fn].get(mode="promise_in_bounds")
+            cn = jnp.where(par == 1, rows[:, D:], rows[:, :D]).reshape(
+                hoist, Ks, D
+            )
+            wvf, wcf, d_neg, loss_sum = sgns_banded_multiblock(
+                wvf, wcf, sb // band_size, db // band_size,
                 src_l, pos_l, cn, alphas,
                 band_size=band_size, k_equiv=negatives,
                 interpret=_interp,
             )
-            # deferred negative apply (context half only)
-            d = jnp.concatenate(
-                [jnp.zeros((hoist * Ks, D), wvc.dtype),
-                 d_neg.reshape(-1, D)], axis=1
+            # deferred negative apply: parity-placed folded-row deltas
+            dd = d_neg.reshape(-1, D)
+            z = jnp.zeros_like(dd)
+            d_full = jnp.where(
+                par == 1,
+                jnp.concatenate([z, dd], axis=1),
+                jnp.concatenate([dd, z], axis=1),
             )
-            wvc = wvc.at[negs_flat].add(d, mode="promise_in_bounds")
-            return {"wvc": wvc}, loss_sum / (hoist * batch)
+            wcf = wcf.at[fn].add(d_full, mode="promise_in_bounds")
+            return {"wvf": wvf, "wcf": wcf}, loss_sum / (hoist * batch)
 
         return step
 
@@ -482,11 +490,22 @@ class LINE(PairModelBase):
                         k: jnp.pad(v, ((0, n_pad - n), (0, 0)))
                         for k, v in self.state.items()
                     }
-                if (edge_stream is True
-                        or (edge_stream == "auto"
-                            and bt.band_size < (1 << 15))):
+                want_stream = (
+                    edge_stream is True
+                    or (isinstance(edge_stream, int)
+                        and edge_stream > 1)
+                    or (edge_stream == "auto"
+                        and bt.band_size < (1 << 15))
+                )
+                if want_stream:
+                    # mult=16 keeps entry reuse ~2x over a 400M-sample
+                    # run; the round-4 mult=4 stream cost ~0.007 gate
+                    # AUC from reuse (0.6119 vs 0.6189 fresh)
+                    mult = (edge_stream
+                            if isinstance(edge_stream, int)
+                            and edge_stream > 1 else 16)
                     if bt.stream is None:
-                        bt.build_stream(seed=self.seed)
+                        bt.build_stream(mult=mult, seed=self.seed)
                 step_fn = self._make_banded_multiblock_step(
                     batch, negative_samples, shared_negatives, hoist
                 )
@@ -500,18 +519,22 @@ class LINE(PairModelBase):
                     micro_steps=hoist,
                     **self._ckpt_kw(),
                 )
-                # concat [wv | wc] layout: one 2D-wide table so the
-                # kernel's HBM band slices are 128-lane aligned
-                wvc0 = jnp.concatenate(
-                    [state["vertex"], state["context"]], axis=1
+                # 2-row-folded layout: (N_pad/2, 2D) per table so the
+                # kernel's HBM band slices are 128-lane aligned at half
+                # the slab bytes (ops/pallas_sgns_banded.fold_table)
+                from smore_tpu.ops.pallas_sgns_banded import (
+                    fold_table,
+                    unfold_table,
                 )
+
                 out = driver.train(
-                    {"wvc": wvc0}, self._key(), verbose=verbose
+                    {"wvf": fold_table(state["vertex"]),
+                     "wcf": fold_table(state["context"])},
+                    self._key(), verbose=verbose,
                 )
-                dim = self.dim
                 self.state = {
-                    "vertex": out["wvc"][:n, :dim],
-                    "context": out["wvc"][:n, dim:],
+                    "vertex": unfold_table(out["wvf"])[:n],
+                    "context": unfold_table(out["wcf"])[:n],
                 }
                 return
             use_hold = band_hold is True and self.order == 2 and hoist > 1

@@ -122,29 +122,38 @@ def _make_kernel(mode: str):
     return _kernel
 
 
+
 def _make_multi_kernel(band_size: int, D: int):
-    """Multi-band variant: grid (S,); micro-step s works band pair
-    (sb_idx[s], db_idx[s]). The two tables live CONCATENATED along
-    features -- wvc = [w_vertex | w_context], (N_pad, 2D) -- in
-    compiler-chosen (HBM) memory; the kernel DMAs each step's two band
-    SLABS (full 2D-wide rows, so the HBM slice is 128-lane aligned at
-    D=64) into VMEM scratch, computes the fused SGNS update on static
-    half-slices, and DMAs the slabs back. This replaces the round-3
-    BlockSpec grid pipeline, whose Mosaic staging allocated ~16
-    band-block buffers (in+out of both tables, double-buffered) and
-    scoped-VMEM-OOMed at every band size (PERF_NOTES round-3 closing):
-    manual DMA needs exactly TWO slab buffers.
+    """Multi-band variant: grid (S, B//TB); micro-step s works band
+    pair (sb_idx[s], db_idx[s]). Each table lives 2-ROW-FOLDED --
+    (N_pad/2, 2D) f32, logical row r at folded row r>>1, half r&1 -- in
+    compiler-chosen (HBM) memory. The fold makes every HBM band slice
+    128-lane aligned at the flagship D=64 (Mosaic requires 128-lane
+    slices; a (band, 64) slice cannot be expressed) at HALF the DMA
+    bytes of the round-4 concat-slab design, which is what lets the
+    quality-proven band 16392 (per-stratum concentration 0.125,
+    PERF_NOTES round-3 "stratum-VISIT size") fit the VMEM budget:
+    2 x (band/2, 128) slabs = 8.4 MB.
 
-    The write-back wait at the end of each grid step makes band
-    revisits (step s+1 drawing the same stratum) correct by
-    construction: the next fetch cannot start before this step's
-    write-back completed. When a step's OWN band pair coincides
-    (sb == db), the vertex-half updates of slab A are merged into slab
-    B and only B is written back."""
+    Serial loops copy FULL 128-wide folded rows (dynamic-sublane +
+    static-lane slices cost ~2.5x per op); the half selection and the
+    half-placed delta construction are vectorized between the loops,
+    driven by parity vectors read from VMEM-blocked src/pos inputs
+    (scalar-prefetch arrays carry the pre-shifted folded row ids for
+    the serial loops).
 
-    def _kernel(sb_ref, db_ref, src_ref, pos_ref, params_ref,
-                wvc_in, cn_ref,
-                wvc_ref, dneg_ref, loss_ref,
+    This replaces the round-3 BlockSpec grid pipeline, whose Mosaic
+    staging allocated ~16 band-block buffers and scoped-VMEM-OOMed at
+    every band size. Band revisits are correct by construction: the
+    write-back wait at the end of each micro-step precedes the next
+    fetch. The two tables are separate arrays, so sb == db needs no
+    special case."""
+
+    H = band_size // 2
+
+    def _kernel(sb_ref, db_ref, fsrc_ref, fpos_ref, params_ref,
+                wvf_in, wcf_in, cn_ref, srcv_ref, posv_ref,
+                wvf_ref, wcf_ref, dneg_ref, loss_ref,
                 slab_v, slab_c, v_s, cp_s, lsum, sems):
         s = pl.program_id(0)
         i = pl.program_id(1)  # inner tile of the micro-step's batch
@@ -155,19 +164,16 @@ def _make_multi_kernel(band_size: int, D: int):
         kscale = params_ref[s, 2]
         TB = v_s.shape[0]
         base = (s * n_i + i) * TB
-        off_v = sb_ref[s] * band_size
-        off_c = db_ref[s] * band_size
-        same = off_v == off_c
+        off_v = sb_ref[s] * H
+        off_c = db_ref[s] * H
 
         @pl.when(i == 0)
         def _():
             in_v = pltpu.make_async_copy(
-                wvc_ref.at[pl.ds(off_v, band_size), :], slab_v,
-                sems.at[0]
+                wvf_ref.at[pl.ds(off_v, H), :], slab_v, sems.at[0]
             )
             in_c = pltpu.make_async_copy(
-                wvc_ref.at[pl.ds(off_c, band_size), :], slab_c,
-                sems.at[1]
+                wcf_ref.at[pl.ds(off_c, H), :], slab_c, sems.at[1]
             )
             in_v.start()
             in_c.start()
@@ -178,27 +184,33 @@ def _make_multi_kernel(band_size: int, D: int):
         def _():
             lsum[0, 0] = 0.0
 
-        # ---- gather: band rows -> scratch tiles (serial VMEM reads).
-        # FULL 2D-wide rows are copied (no lane slicing inside the
-        # serial loop -- dynamic-sublane + static-lane slices cost ~2.5x
-        # per op); the halves are separated vectorized afterwards.
+        # ---- gather: full folded rows -> scratch (serial VMEM reads)
         def gbody(j, _):
             j0 = j * _U
             for k in range(_U):
-                r = src_ref[base + j0 + k]
+                r = fsrc_ref[base + j0 + k]
                 v_s[pl.ds(j0 + k, 1), :] = slab_v[pl.ds(r, 1), :]
-                r2 = pos_ref[base + j0 + k]
+                r2 = fpos_ref[base + j0 + k]
                 cp_s[pl.ds(j0 + k, 1), :] = slab_c[pl.ds(r2, 1), :]
             return 0
 
         jax.lax.fori_loop(0, TB // _U, gbody, 0, unroll=1)
 
-        # ---- fused SGNS gradient math (VPU + MXU) ----
-        # vertex rows live in the LEFT half of slab_v rows; positive
-        # context rows in the RIGHT half of slab_c rows
-        v = v_s[:, 0:D]
-        cp = cp_s[:, D:2 * D]
+        # ---- vectorized half selection by parity (src/pos arrive as
+        # (1, B//128, 128) VMEM blocks -- Mosaic block shapes need the
+        # last two dims (8, 128)-divisible; tile i's TB ids are TB//128
+        # consecutive rows, sliced at the REF level since value-level
+        # dynamic_slice has no Mosaic lowering) ----
+        tr = TB // 128
+        par_s = (srcv_ref[0, pl.ds(i * tr, tr), :].reshape(TB)
+                 & 1)[:, None]
+        par_p = (posv_ref[0, pl.ds(i * tr, tr), :].reshape(TB)
+                 & 1)[:, None]
+        v = jnp.where(par_s == 1, v_s[:, D:2 * D], v_s[:, 0:D])
+        cp = jnp.where(par_p == 1, cp_s[:, D:2 * D], cp_s[:, 0:D])
         cn = cn_ref[0]
+
+        # ---- fused SGNS gradient math (VPU + MXU) ----
         s_pos = jax.nn.sigmoid(jnp.sum(v * cp, axis=1, keepdims=True))
         g_pos = (1.0 - s_pos) * alpha
         s_neg = jax.nn.sigmoid(
@@ -219,26 +231,34 @@ def _make_multi_kernel(band_size: int, D: int):
             g_neg.T, v, preferred_element_type=jnp.float32
         )
 
-        # overwrite scratch with FULL-row deltas whose inactive half is
-        # zero, so the serial scatter is a plain full-row RMW (adding
-        # zero to the untouched half) with no lane slicing
-        zeros = jnp.zeros((v.shape[0], D), jnp.float32)
+        # overwrite scratch with FULL folded-row deltas whose inactive
+        # half is zero, parity-placed, so the serial scatter is a plain
+        # full-row RMW
         d_src = g_pos * cp + jnp.dot(
             g_neg, cn, preferred_element_type=jnp.float32
         )
         d_pos = g_pos * v
-        v_s[:] = jnp.concatenate([d_src, zeros], axis=1)
-        cp_s[:] = jnp.concatenate([zeros, d_pos], axis=1)
+        zeros = jnp.zeros((TB, D), jnp.float32)
+        v_s[:] = jnp.where(
+            par_s == 1,
+            jnp.concatenate([zeros, d_src], axis=1),
+            jnp.concatenate([d_src, zeros], axis=1),
+        )
+        cp_s[:] = jnp.where(
+            par_p == 1,
+            jnp.concatenate([zeros, d_pos], axis=1),
+            jnp.concatenate([d_pos, zeros], axis=1),
+        )
 
-        # ---- scatter: serial full-row RMW into the VMEM slabs ----
+        # ---- scatter: serial full-row RMW into the slabs ----
         def sbody(j, _):
             j0 = j * _U
             for k in range(_U):
-                r = src_ref[base + j0 + k]
+                r = fsrc_ref[base + j0 + k]
                 slab_v[pl.ds(r, 1), :] = (
                     slab_v[pl.ds(r, 1), :] + v_s[pl.ds(j0 + k, 1), :]
                 )
-                r2 = pos_ref[base + j0 + k]
+                r2 = fpos_ref[base + j0 + k]
                 slab_c[pl.ds(r2, 1), :] = (
                     slab_c[pl.ds(r2, 1), :] + cp_s[pl.ds(j0 + k, 1), :]
                 )
@@ -246,30 +266,18 @@ def _make_multi_kernel(band_size: int, D: int):
 
         jax.lax.fori_loop(0, TB // _U, sbody, 0, unroll=1)
 
-        # ---- write-back (last inner tile only). sb == db: both slabs
-        # are copies of the same rows (vertex deltas landed in slab_v,
-        # context deltas in slab_c); merge the vertex half into slab_c
-        # and write only it.
-        @pl.when(jnp.logical_and(i == n_i - 1, same))
-        def _():
-            slab_c[:, 0:D] = slab_v[:, 0:D]
-
-        @pl.when(jnp.logical_and(i == n_i - 1, jnp.logical_not(same)))
-        def _():
-            out_v = pltpu.make_async_copy(
-                slab_v, wvc_ref.at[pl.ds(off_v, band_size), :],
-                sems.at[2]
-            )
-            out_v.start()
-            out_v.wait()
-
+        # ---- write-back (last inner tile only) ----
         @pl.when(i == n_i - 1)
         def _():
-            out_c = pltpu.make_async_copy(
-                slab_c, wvc_ref.at[pl.ds(off_c, band_size), :],
-                sems.at[3]
+            out_v = pltpu.make_async_copy(
+                slab_v, wvf_ref.at[pl.ds(off_v, H), :], sems.at[2]
             )
+            out_c = pltpu.make_async_copy(
+                slab_c, wcf_ref.at[pl.ds(off_c, H), :], sems.at[3]
+            )
+            out_v.start()
             out_c.start()
+            out_v.wait()
             out_c.wait()
 
         @pl.when(jnp.logical_and(s == n_s - 1, i == n_i - 1))
@@ -279,14 +287,27 @@ def _make_multi_kernel(band_size: int, D: int):
     return _kernel
 
 
+def fold_table(w: jnp.ndarray) -> jnp.ndarray:
+    """(N, D) -> (N/2, 2D) 2-row fold (row-major preserving reshape)."""
+    n, d = w.shape
+    return w.reshape(n // 2, 2 * d)
+
+
+def unfold_table(wf: jnp.ndarray) -> jnp.ndarray:
+    """(N/2, 2D) -> (N, D)."""
+    h, d2 = wf.shape
+    return wf.reshape(2 * h, d2 // 2)
+
+
 @functools.partial(
     jax.jit, static_argnames=("band_size", "k_equiv", "interpret")
 )
 def sgns_banded_multiblock(
-    wvc: jnp.ndarray,  # (Np, 2D) FULL padded CONCAT table [wv | wc]
+    wvf: jnp.ndarray,  # (Np/2, 2D) 2-row-FOLDED padded vertex table
+    wcf: jnp.ndarray,  # (Np/2, 2D) folded context table
     sb_idx: jnp.ndarray,  # (S,) i32 source BAND INDICES per micro-step
     db_idx: jnp.ndarray,  # (S,) i32 context band indices
-    src_l: jnp.ndarray,  # (S, B) i32 band-LOCAL source rows
+    src_l: jnp.ndarray,  # (S, B) i32 band-LOCAL source rows (unfolded)
     pos_l: jnp.ndarray,  # (S, B) i32 band-LOCAL positive rows
     cn: jnp.ndarray,  # (S, Ks, D) f32 shared-negative rows (pre-call
     # snapshot; d_neg is returned and applied by the caller)
@@ -296,21 +317,25 @@ def sgns_banded_multiblock(
     interpret: bool = False,
 ):
     """S micro-steps, each on its OWN band pair, in one pallas_call:
-    the concat table stays in HBM and each step's band pair is staged
-    through two VMEM slab buffers by in-kernel DMA (_make_multi_kernel).
-    The concat layout makes every HBM slice 2D = 128 lanes wide at the
-    flagship D=64 (Mosaic requires 128-aligned HBM slices). Table
-    donated. Returns (wvc', d_neg (S, Ks, D), loss_sum ())."""
+    the folded tables stay in HBM and each step's band pair is staged
+    through two half-height VMEM slabs by in-kernel DMA
+    (_make_multi_kernel). Both tables donated. Returns (wvf', wcf',
+    d_neg (S, Ks, D), loss_sum ())."""
     S, B = src_l.shape
-    D2 = wvc.shape[1]
+    D2 = wvf.shape[1]
     D = D2 // 2
     Ks = cn.shape[1]
-    TB = min(2048, B)  # inner tile: the (TB, D2) gather/delta scratch
-    # tiles must fit beside the two band slabs
+    TB = min(1024, B)  # the two (TB, 2D) gather/delta tiles must fit
+    # beside the two half-height band slabs (2048 tiles overflow the
+    # 16M scoped-VMEM budget by ~0.8M at band 16392)
     assert B % TB == 0 and TB % _U == 0, (B, TB)
+    assert B % 128 == 0, B  # parity inputs ship as (S, B//128, 128)
+    # folded slab height band_size/2 must be sublane-aligned (multiple
+    # of 8): misaligned slab DMA offsets FAULT the TPU worker
+    assert band_size % 16 == 0, band_size
     assert D2 % 128 == 0 or interpret, (
-        "multiblock kernel needs concat rows that are a multiple of 128 "
-        "lanes (D multiple of 64)"
+        "multiblock kernel needs folded rows that are a multiple of "
+        "128 lanes (D multiple of 64)"
     )
 
     alphas = jnp.asarray(alpha, jnp.float32).reshape(S)
@@ -324,10 +349,16 @@ def sgns_banded_multiblock(
         grid=(S, B // TB),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, Ks, D), lambda s, i, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B // 128, 128), lambda s, i, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B // 128, 128), lambda s, i, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, Ks, D), lambda s, i, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -335,30 +366,33 @@ def sgns_banded_multiblock(
                          memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((band_size, D2), jnp.float32),  # source slab
-            pltpu.VMEM((band_size, D2), jnp.float32),  # context slab
-            pltpu.VMEM((TB, D2), jnp.float32),  # gathered full src rows
-            pltpu.VMEM((TB, D2), jnp.float32),  # gathered full ctx rows
+            pltpu.VMEM((band_size // 2, D2), jnp.float32),  # src slab
+            pltpu.VMEM((band_size // 2, D2), jnp.float32),  # ctx slab
+            pltpu.VMEM((TB, D2), jnp.float32),  # gathered folded rows
+            pltpu.VMEM((TB, D2), jnp.float32),  # gathered folded rows
             pltpu.SMEM((1, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
     )
-    wvc2, d_neg, loss = pl.pallas_call(
+    src_l = src_l.astype(jnp.int32)
+    pos_l = pos_l.astype(jnp.int32)
+    wvf2, wcf2, d_neg, loss = pl.pallas_call(
         _make_multi_kernel(band_size, D),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct(wvc.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wvf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wcf.shape, jnp.float32),
             jax.ShapeDtypeStruct((S, Ks, D), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         # operand numbering includes the 5 scalar-prefetch args
-        input_output_aliases={5: 0},
+        input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
     )(sb_idx.astype(jnp.int32), db_idx.astype(jnp.int32),
-      src_l.reshape(-1).astype(jnp.int32),
-      pos_l.reshape(-1).astype(jnp.int32), params,
-      wvc, cn)
-    return wvc2, d_neg, loss[0, 0]
+      (src_l >> 1).reshape(-1), (pos_l >> 1).reshape(-1), params,
+      wvf, wcf, cn, src_l.reshape(S, B // 128, 128),
+      pos_l.reshape(S, B // 128, 128))
+    return wvf2, wcf2, d_neg, loss[0, 0]
 
 
 @functools.partial(

@@ -84,14 +84,18 @@ DEFAULT_BAND_SIZE = 32776
 FUSED_BAND_SIZE = 16392
 
 # Band size for the MULTI-band DMA-staged kernel (sgns_banded_multiblock,
-# round 4): the tables live concatenated [wv | wc] (N_pad, 2D) and the
-# kernel DMAs each micro-step's two band SLABS into two VMEM scratch
-# buffers itself (the round-3 grid-pipeline variant OOMed at every band
-# size because Mosaic staged ~16 band-block buffers). VMEM cost =
-# 2 * band * 2D * 4 B = band * 1 KB at D=64; 8200 = 8 * 5^2 * 41
-# (2-adic factor 2^3 only, same de-aliasing rule as above) uses 8.4 MB
-# of the ~16 MB budget, leaving room for the gather/delta tiles.
-MULTI_BAND_SIZE = 8200
+# round 4): each table lives 2-ROW-FOLDED ((N_pad/2, 2D)) and the kernel
+# DMAs each micro-step's two half-height band SLABS into two VMEM
+# scratch buffers itself (the round-3 grid-pipeline variant OOMed at
+# every band size because Mosaic staged ~16 band-block buffers). VMEM
+# cost = 2 * (band/2) * 2D * 4 B = band * 512 B at D=64, so a band at
+# the quality-PROVEN 16392-grade concentration (the 0.618-gate /
+# exact-400M-parity ratio at visit 2048 -- round-4 ablation measured
+# 0.599 at band 8200) fits: 8.4 MB of slabs. The folded HALF-height
+# must be sublane-aligned (multiple of 8; a 8196-row slab DMA faults
+# the TPU worker), so band % 16 == 0: 16400 = 2^4 * 5^2 * 41 (2-adic
+# factor 2^4 only -- the de-aliasing rule fears LARGE powers of two).
+MULTI_BAND_SIZE = 16400
 
 
 @jax.tree_util.register_pytree_node_class

@@ -107,7 +107,7 @@ def test_multiblock_equals_sequential_fused_steps(comm_graph):
     assert n_pad // BAND >= 3
     key = jax.random.PRNGKey(5)
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    D, B, Ks, S = 64, 64, 8, 4
+    D, B, Ks, S = 64, 128, 8, 4
     wv = jax.random.normal(k1, (n_pad, D)) * 0.1
     wc = jax.random.normal(k2, (n_pad, D)) * 0.1
     # step band pairs (src band, dst band): step 2 REVISITS step 0's
@@ -121,13 +121,14 @@ def test_multiblock_equals_sequential_fused_steps(comm_graph):
     assert int(negs.max()) < BAND
     alphas = jnp.float32([0.05, 0.04, 0.03, 0.03])
 
+    from smore_tpu.ops.pallas_sgns_banded import fold_table, unfold_table
+
     cn = wc[negs.reshape(-1)].reshape(S, Ks, D)
-    wvc = jnp.concatenate([wv, wc], axis=1)
-    wvc2, d_neg, _ = sgns_banded_multiblock(
-        wvc, sb_idx, db_idx, src_l, pos_l, cn, alphas,
-        band_size=BAND, interpret=True,
+    wvf2, wcf2, d_neg, _ = sgns_banded_multiblock(
+        fold_table(wv), fold_table(wc), sb_idx, db_idx, src_l, pos_l,
+        cn, alphas, band_size=BAND, interpret=True,
     )
-    gv, gc = wvc2[:, :D], wvc2[:, D:]
+    gv, gc = unfold_table(wvf2), unfold_table(wcf2)
     gc = gc.at[negs.reshape(-1)].add(d_neg.reshape(-1, D))
 
     rv, rc = wv, wc
