@@ -179,22 +179,27 @@ def reference_yt_auc40() -> float:
     return auc
 
 
-def measure_ours_yt_quality() -> tuple:
+def measure_ours_yt_quality(n_seeds: int = 2) -> tuple:
     """The in-bench YT quality gate (VERDICT r2 #1): train the DEFAULT
     production config at the 40M gate budget and compare community-AUC
-    against the reference's at the same budget."""
+    against the reference's at the same budget. Seed-aware (VERDICT r3
+    item 7): the gate value is the MEAN over n_seeds runs."""
     from smore_tpu.graph.graph import Graph
     from smore_tpu.models.line import LINE
 
     g = Graph.load_edge_list(YT_GRAPH_PATH, undirected=True)
-    m = LINE(g, seed=0)
-    m.init(dim=DIM, order=2)
-    m.train(sample_times=40, negative_samples=NEGS, alpha=ALPHA,
-            verbose=False)
-    float(m.state["vertex"][0, 0])
-    ours = yt_community_auc(np.asarray(m.state["vertex"]), m.graph.names)
+    aucs = []
+    for s in range(n_seeds):
+        m = LINE(g, seed=s)
+        m.init(dim=DIM, order=2)
+        m.train(sample_times=40, negative_samples=NEGS, alpha=ALPHA,
+                verbose=False)
+        float(m.state["vertex"][0, 0])
+        aucs.append(
+            yt_community_auc(np.asarray(m.state["vertex"]), m.graph.names)
+        )
     ref = reference_yt_auc40()
-    return ours, ref
+    return float(np.mean(aucs)), ref
 
 
 def measure_ours() -> float:

@@ -349,11 +349,13 @@ class LINE(PairModelBase):
         # Pallas band kernel is the sanctioned fast path instead
         band_size: int = 0,  # 0 = sampling.banded.DEFAULT_BAND_SIZE
         multiband: object = "auto",  # DMA-staged multi-band kernel: one
-        # band pair PER MICRO-STEP, band slabs staged by in-kernel DMA
-        # (sgns_banded_multiblock) -- small per-stratum visits (the
-        # quality knob) at amortized fixed cost. "auto" = off until
-        # the measurement gates flip it; True forces it (order-2,
-        # group=1, TPU/interpret).
+        # band pair PER MICRO-STEP, folded-table band slabs staged by
+        # in-kernel DMA (sgns_banded_multiblock) -- the proven
+        # per-stratum concentration at amortized fixed cost. "auto" =
+        # ON for the TPU backend when shapes fit (order-2, group=1,
+        # dim%64==0, batch%128==0): 30.6 M samples/s at EXACT 400M
+        # reference parity (0.9650) and gate 0.617 at YT scale,
+        # round-4. True additionally enables the CPU interpret path.
         edge_stream: object = "auto",  # pre-sampled per-stratum edge
         # streams (BandedTables.build_stream): replaces the per-sample
         # random edge-row gather (100% of the measured draw cost) with
@@ -394,6 +396,7 @@ class LINE(PairModelBase):
             # degenerate tables (>=2^24 edges/vertices) fall back to the
             # per-step path, which has its own two-stage fallback
             hoist = 1
+        auto_hoist = hoist == 0
         if hoist == 0:
             if use_banded and shared_negatives:
                 hoist = 8  # saturation point at Youtube scale
@@ -423,12 +426,35 @@ class LINE(PairModelBase):
                 return b % 2048 == 0 or (b < 2048 and b % 8 == 0)
 
             on_tpu = jax.default_backend() == "tpu"
+            # MULTIBAND DMA-staged kernel (sgns_banded_multiblock): the
+            # round-4 production default. One band pair per micro-step,
+            # folded tables, pre-sampled edge streams: 30.6 M samples/s
+            # at EXACT 400M parity (0.9650 == ref) and gate 0.617
+            # (ref band 0.611-0.617) at YT scale -- vs 18.9 M at
+            # 0.602/0.9624 for the round-3 fused default. "auto" = on
+            # for the TPU backend when shapes fit (order-2, group=1,
+            # dim % 64 == 0); True additionally enables the CPU
+            # interpret path (tests).
+            use_multi = (
+                self.order == 2
+                and group == 1
+                and self.dim % 64 == 0
+                and (multiband is True
+                     or (multiband == "auto" and on_tpu))
+            )
+            if use_multi and auto_batch:
+                # batch IS the per-stratum visit; 2048 at band 16400 is
+                # the proven exact-parity concentration
+                batch = clamp_batch(n, 2048, group=group)
+            if use_multi and batch % 128:
+                use_multi = False  # parity inputs ship (S, B//128, 128)
             # FUSED kernel (ops/pallas_sgns_banded.py): gather + SGNS
             # math + scatter in one VMEM-resident pass -- the fast path
-            # for the ungrouped 2D config (the production default).
+            # for the ungrouped 2D config when multiband is off.
             # use_pallas="scatter" selects the scatter-only kernel.
             fused = (
-                self.order == 2
+                not use_multi
+                and self.order == 2
                 and group == 1
                 and _tiles(batch)
                 and (use_pallas is True or (use_pallas == "auto" and on_tpu))
@@ -441,11 +467,19 @@ class LINE(PairModelBase):
                     and _tiles(batch) and _tiles(batch // group))
             )
 
-            # both bands must fit VMEM together on the fused path
+            # both bands must fit VMEM together on the fused path; the
+            # multiband path needs its fold-aligned band
+            from smore_tpu.sampling.banded import MULTI_BAND_SIZE
+
             auto_band = band_size == 0
             band_size = band_size or (
-                FUSED_BAND_SIZE if fused else DEFAULT_BAND_SIZE
+                MULTI_BAND_SIZE if use_multi
+                else FUSED_BAND_SIZE if fused
+                else DEFAULT_BAND_SIZE
             )
+            if use_multi and band_size % 16:
+                use_multi = False  # folded slab height must be
+                # sublane-aligned (kernel asserts band % 16 == 0)
             if (fused and auto_batch and auto_band
                     and band_size < DEFAULT_BAND_SIZE):
                 # The 40M-gate AUC tracks the per-stratum VISIT size
@@ -472,24 +506,10 @@ class LINE(PairModelBase):
                 k: jnp.pad(v, ((0, n_pad - n), (0, 0)))
                 for k, v in self.state.items()
             }
-            use_multi = (
-                multiband is True and self.order == 2 and group == 1
-                and hoist > 1 and _tiles(batch)
-            )
             if use_multi:
-                from smore_tpu.sampling.banded import MULTI_BAND_SIZE
-
-                if auto_band and band_size != MULTI_BAND_SIZE:
-                    bt = BandedTables.build(
-                        self.graph, band_size=MULTI_BAND_SIZE, two_d=True,
-                        vertex_method=self.vertex_method, base=self.tables,
-                    )
-                    self.banded_tables = bt
-                    n_pad = bt.n_rows_padded
-                    state = {
-                        k: jnp.pad(v, ((0, n_pad - n), (0, 0)))
-                        for k, v in self.state.items()
-                    }
+                if auto_hoist or hoist < 2:
+                    hoist = 16  # micro-steps per superstep (the S grid
+                    # dim); 16 measured at parity, 32 marginally faster
                 want_stream = (
                     edge_stream is True
                     or (isinstance(edge_stream, int)
@@ -498,12 +518,14 @@ class LINE(PairModelBase):
                         and bt.band_size < (1 << 15))
                 )
                 if want_stream:
-                    # mult=16 keeps entry reuse ~2x over a 400M-sample
-                    # run; the round-4 mult=4 stream cost ~0.007 gate
-                    # AUC from reuse (0.6119 vs 0.6189 fresh)
+                    # mult=32 keeps entry reuse ~1x over a 400M-sample
+                    # run -- statistically indistinguishable from fresh
+                    # draws (400M AUC 0.9650 == reference exactly, vs
+                    # 0.9633 at mult=16 and 0.9570 at mult=4; fresh
+                    # kernel arm 0.9646). ~0.9 GB of HBM at YT scale.
                     mult = (edge_stream
                             if isinstance(edge_stream, int)
-                            and edge_stream > 1 else 16)
+                            and edge_stream > 1 else 32)
                     if bt.stream is None:
                         bt.build_stream(mult=mult, seed=self.seed)
                 step_fn = self._make_banded_multiblock_step(
