@@ -46,9 +46,7 @@ def run_ours(seed, order):
     m.train(sample_times=BUDGET, verbose=False)
     emb = np.asarray(m.state["vertex"])
     dt = time.time() - t0
-    # label order: names are v{i}; remap rows by name
-    vid = np.array([g.name2id[f"v{i}"] for i in range(g.n_vertices)])
-    return emb[vid], dt
+    return list(g.names), emb, dt
 
 
 def run_ref(order):
@@ -64,13 +62,18 @@ def run_ref(order):
     from smore_tpu.io.embeddings import load_embeddings
 
     d = load_embeddings(out)
-    return np.stack([d[f"v{i}"] for i in range(len(d))])
+    names = list(d.keys())
+    return names, np.stack([d[nm] for nm in names])
 
 
-def auc_of(emb):
-    n = emb.shape[0]
-    names = [f"v{i}" for i in range(n)]
-    return community_auc(emb, names)
+N_FULL = 1_100_000
+
+
+def by_name(names, emb):
+    out = np.zeros((N_FULL, emb.shape[1]), dtype=np.float32)
+    for row, nm in enumerate(names):
+        out[int(nm[1:])] = emb[row]
+    return out
 
 
 def stats(tag, vals):
@@ -85,26 +88,33 @@ def main():
     make_youtube_graph(YT)
     lab = labels()
 
+    sub = np.random.default_rng(123).choice(N_FULL, 200_000,
+                                            replace=False)
+
     ours_auc, ours_f1c, ours_f1o2 = [], [], []
     for s in range(n_seeds):
-        e2, dt = run_ours(s, 2)
-        e1, _ = run_ours(s, 1)
-        ours_auc.append(auc_of(e2))
-        ours_f1o2.append(softmax_probe(e2, lab, seed=s))
-        ours_f1c.append(
-            softmax_probe(np.concatenate([e1, e2], 1), lab, seed=s))
+        nm2, e2, dt = run_ours(s, 2)
+        nm1, e1, _ = run_ours(s, 1)
+        ours_auc.append(community_auc(e2, nm2))
+        m2 = by_name(nm2, e2)
+        m1 = by_name(nm1, e1)
+        ours_f1o2.append(softmax_probe(m2[sub], lab[sub], iters=150))
+        ours_f1c.append(softmax_probe(
+            np.concatenate([m1, m2], 1)[sub], lab[sub], iters=150))
         print(f"ours seed {s}: gate-AUC {ours_auc[-1]:.4f} "
               f"f1(o1+o2) {ours_f1c[-1]:.4f} f1(o2) {ours_f1o2[-1]:.4f} "
               f"({BUDGET/dt:.1f} M/s)", flush=True)
 
     ref_auc, ref_f1c, ref_f1o2 = [], [], []
     for s in range(n_seeds):
-        e2 = run_ref(2)
-        e1 = run_ref(1)
-        ref_auc.append(auc_of(e2))
-        ref_f1o2.append(softmax_probe(e2, lab, seed=s))
-        ref_f1c.append(
-            softmax_probe(np.concatenate([e1, e2], 1), lab, seed=s))
+        nm2, e2 = run_ref(2)
+        nm1, e1 = run_ref(1)
+        ref_auc.append(community_auc(e2, nm2))
+        m2 = by_name(nm2, e2)
+        m1 = by_name(nm1, e1)
+        ref_f1o2.append(softmax_probe(m2[sub], lab[sub], iters=150))
+        ref_f1c.append(softmax_probe(
+            np.concatenate([m1, m2], 1)[sub], lab[sub], iters=150))
         print(f"ref seed {s}: gate-AUC {ref_auc[-1]:.4f} "
               f"f1(o1+o2) {ref_f1c[-1]:.4f} f1(o2) {ref_f1o2[-1]:.4f}",
               flush=True)
