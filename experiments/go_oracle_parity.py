@@ -1231,9 +1231,128 @@ def run_mp2v():
     return "metapath2vec", u_auc, o_auc, None, None
 
 
+def make_community(path, comms=4, per=200, intra_deg=12, inter_deg=2,
+                   seed=11):
+    """Plain undirected community graph for the walk families: each
+    vertex draws ``intra_deg`` endpoints inside its community and
+    ``inter_deg`` outside -- q-sensitive structure (BFS-like q>1 stays
+    local)."""
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(seed)
+    n = comms * per
+    comm = np.arange(n) // per
+    lines = []
+    for v in range(n):
+        c = comm[v]
+        ins = rng.integers(0, per, intra_deg) + c * per
+        outs = rng.integers(0, n, inter_deg)
+        for u in np.concatenate([ins, outs]):
+            if int(u) != v:
+                lines.append(f"v{v} v{int(u)} 1\n")
+    with open(path, "w") as f:
+        f.writelines(lines)
+    return path
+
+
+def oracle_node2vec(g, p, q, walk_times, walk_steps, window, negs,
+                    alpha):
+    """node2vec.go:82-175 + Train :178-258, sequential NumPy.
+
+    First step: weight-proportional TargetSample (pronet.go); later
+    steps: per-neighbor bias scan (1/p return, 1.0 if the candidate is
+    also a neighbor of prev, 1/q otherwise -- node2vec.go:114-165),
+    cumulative-sum draw. Pairs via SkipGrams WITHOUT window shrink
+    (pronet.go:310-333), updates via UpdatePair (optimizer.go:8-58),
+    negatives ~ (in+out degree)^0.75 (the pronet negative table)."""
+    rng = np.random.default_rng(SEED + 11)
+    n = g.n_vertices
+    wv = (rng.random((n, DIM)) - 0.5) / DIM
+    wc = np.zeros((n, DIM))
+    deg_mass = np.zeros(n)
+    np.add.at(deg_mass, np.repeat(np.arange(n), np.diff(g.indptr)),
+              g.weights)
+    np.add.at(deg_mass, g.indices, g.weights)
+    neg_draw = _alias_draw_factory(np.maximum(deg_mass, 1e-12), 0.75,
+                                   rng)
+    nbrs_of = [g.indices[g.indptr[v]:g.indptr[v + 1]] for v in range(n)]
+    w_of = [g.weights[g.indptr[v]:g.indptr[v + 1]] for v in range(n)]
+    total = walk_times * n
+    count = 0
+    cur = alpha
+    for _ in range(walk_times):
+        for v in rng.permutation(n):
+            count += 1
+            walk = [int(v)]
+            nb = nbrs_of[v]
+            if len(nb):
+                w = w_of[v]
+                first = int(nb[np.searchsorted(
+                    np.cumsum(w), rng.random() * w.sum())])
+                walk.append(first)
+                for _ in range(1, walk_steps):
+                    curv, prev = walk[-1], walk[-2]
+                    nb2 = nbrs_of[curv]
+                    if len(nb2) == 0:
+                        break
+                    bias = np.where(
+                        nb2 == prev, 1.0 / p,
+                        np.where(np.isin(nb2, nbrs_of[prev]), 1.0,
+                                 1.0 / q))
+                    bw = w_of[curv] * bias
+                    tot = bw.sum()
+                    if tot == 0:
+                        nxt = int(nb2[rng.integers(0, len(nb2))])
+                    else:
+                        nxt = int(nb2[np.searchsorted(
+                            np.cumsum(bw), rng.random() * tot)])
+                    walk.append(nxt)
+            for a, b in _skipgrams(walk, window):
+                _update_pair(wv, wc, a, b, neg_draw, negs, cur)
+            if count % 1000 == 0:
+                cur = max(alpha * (1 - count / total), alpha * 1e-4)
+    return wv
+
+
+def run_node2vec():
+    from smore_tpu.graph.graph import Graph
+    from smore_tpu.models.node2vec import Node2Vec
+
+    path = make_community("/tmp/oracle_community.txt")
+    g = Graph.load_edge_list(path, undirected=True)
+    # q=2 (BFS-like) exercises the second-order bias path on both arms.
+    # walk_times=3 keeps both arms mid-range (measured 2026-08-21:
+    # ours 0.9989 vs oracle 0.9980); at the wt=10 default BOTH arms
+    # saturate to 1.0000, and at wt=2 the known truncated-budget
+    # batched-staleness gap appears (ours 0.8230 vs 0.9693 -- same
+    # family as the deepwalk trunc effect, walk_base.freshness_policy).
+    p, q = 0.5, 2.0
+    wt, ws, win, negs, alpha = 3, 20, 5, 5, 0.025
+    labels = np.array([int(nm[1:]) // 200 for nm in g.names])
+    print(f"[node2vec] {g.n_vertices} nodes, {g.n_edges} edges",
+          flush=True)
+
+    t0 = time.time()
+    o_emb = oracle_node2vec(g, p, q, wt, ws, win, negs, alpha)
+    t_oracle = time.time() - t0
+    o_auc = community_auc_emb(o_emb, labels)
+
+    t0 = time.time()
+    m = Node2Vec(g, seed=0, p=p, q=q)
+    m.init(dim=DIM)
+    m.train(walk_times=wt, walk_steps=ws, window_size=win,
+            negative_samples=negs, p=p, q=q, alpha=alpha, verbose=False)
+    t_ours = time.time() - t0
+    u_auc = community_auc_emb(np.asarray(m.state["vertex"]), labels)
+    print(f"{'node2vec':14s} ours comm-AUC={u_auc:.4f} ({t_ours:.0f}s) "
+          f"| oracle {o_auc:.4f} ({t_oracle:.0f}s)", flush=True)
+    return "node2vec", u_auc, o_auc, None, None
+
+
 def main():
     want = sys.argv[1:] or ["transe", "rotate", "complex", "sne", "ctdne",
-                            "metapath2vec", "jodie", "han", "cpr", "tpr"]
+                            "metapath2vec", "jodie", "han", "cpr", "tpr",
+                            "node2vec"]
     rows = []
     for w in want:
         if w in ("transe", "rotate", "complex"):
@@ -1252,6 +1371,8 @@ def main():
             rows.append(run_cpr())
         elif w == "tpr":
             rows.append(run_tpr())
+        elif w == "node2vec":
+            rows.append(run_node2vec())
     print("\n| model | ours | oracle (Go semantics) | metric |")
     print("|---|---|---|---|")
     for name, u, o, uh, oh in rows:
