@@ -238,9 +238,12 @@ def measure_ours_yt() -> float:
     g = Graph.load_edge_list(YT_GRAPH_PATH, undirected=True)
     m = LINE(g, seed=0)
     m.init(dim=DIM, order=2)
-    # batch stays auto: the fused banded path picks its own batch (the
-    # coverage-matched 16384); rate = requested samples / wall, a
-    # conservative floor (the driver rounds work UP to whole jit calls)
+    # batch stays auto: the banded fast path picks its own batch /
+    # micro-step grouping; rate = samples ACTUALLY executed / wall (the
+    # driver rounds the request UP to whole jit calls -- ~5% more work
+    # than the 400M ask at the default call size -- so dividing the
+    # request by wall under-reads the chip; the small-graph arm already
+    # counts executed work, TrainDriver.executed_samples).
     m.train(sample_times=1, negative_samples=NEGS, alpha=ALPHA,
             steps_per_call=12800, verbose=False)
     float(m.state["vertex"][0, 0])
@@ -249,7 +252,7 @@ def measure_ours_yt() -> float:
             alpha=ALPHA, steps_per_call=12800, verbose=False)
     float(m.state["vertex"][0, 0])
     dt = time.time() - t0
-    return OUR_SAMPLE_TIMES * 1_000_000 / dt
+    return m.last_driver.executed_samples / dt
 
 
 def measure_reference(graph_path: str = GRAPH_PATH, tag: str = "") -> float:

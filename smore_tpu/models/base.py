@@ -327,6 +327,7 @@ class TrainDriver:
         done = 0
         if self.checkpoint_path:
             state, key, done = self._maybe_resume(state, key)
+        done0 = done
         if self.mesh is not None and self.sharding == "rows":
             from smore_tpu.parallel.mesh import replicated, shard_state
 
@@ -368,6 +369,11 @@ class TrainDriver:
                 )
         if loss is not None:
             float(loss)  # sync: block_until_ready is unreliable over tunnels
+        # Work ACTUALLY performed by THIS call (excludes checkpoint-
+        # restored steps): the loop rounds total_samples up to whole jit
+        # calls (done >= steps_total), so throughput reads should divide
+        # executed_samples by wall, not the request.
+        self.executed_samples = (done - done0) * self.samples_per_step
         if verbose and self.monitor:
             el = time.time() - t0
             n = steps_total * self.samples_per_step

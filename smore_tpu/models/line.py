@@ -531,7 +531,7 @@ class LINE(PairModelBase):
                 step_fn = self._make_banded_multiblock_step(
                     batch, negative_samples, shared_negatives, hoist
                 )
-                driver = TrainDriver(
+                self.last_driver = driver = TrainDriver(
                     step_fn,
                     ctx=self.banded_tables,
                     samples_per_step=batch * hoist,
@@ -570,7 +570,7 @@ class LINE(PairModelBase):
                     batch, negative_samples, shared_negatives, group,
                     hoist, pallas_scatter=pallas_scat, fused=fused,
                 )
-            driver = TrainDriver(
+            self.last_driver = driver = TrainDriver(
                 step_fn,
                 ctx=bt,
                 samples_per_step=batch * hoist,
@@ -584,7 +584,7 @@ class LINE(PairModelBase):
             self.state = {k: v[:n] for k, v in out.items()}
             return
 
-        driver = TrainDriver(
+        self.last_driver = driver = TrainDriver(
             self._make_step(batch, negative_samples, collision,
                             shared_negatives, group,
                             use_pallas is True, hoist),
