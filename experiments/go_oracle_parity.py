@@ -1287,8 +1287,9 @@ def oracle_node2vec(g, p, q, walk_times, walk_steps, window, negs,
             nb = nbrs_of[v]
             if len(nb):
                 w = w_of[v]
-                first = int(nb[np.searchsorted(
-                    np.cumsum(w), rng.random() * w.sum())])
+                cw = np.cumsum(w)
+                first = int(nb[min(np.searchsorted(
+                    cw, rng.random() * cw[-1]), len(nb) - 1)])
                 walk.append(first)
                 for _ in range(1, walk_steps):
                     curv, prev = walk[-1], walk[-2]
@@ -1304,8 +1305,9 @@ def oracle_node2vec(g, p, q, walk_times, walk_steps, window, negs,
                     if tot == 0:
                         nxt = int(nb2[rng.integers(0, len(nb2))])
                     else:
-                        nxt = int(nb2[np.searchsorted(
-                            np.cumsum(bw), rng.random() * tot)])
+                        cbw = np.cumsum(bw)
+                        nxt = int(nb2[min(np.searchsorted(
+                            cbw, rng.random() * cbw[-1]), len(nb2) - 1)])
                     walk.append(nxt)
             for a, b in _skipgrams(walk, window):
                 _update_pair(wv, wc, a, b, neg_draw, negs, cur)

@@ -78,9 +78,10 @@ def by_name(names, emb):
 
 def stats(tag, vals):
     a = np.asarray(vals)
+    sd = a.std(ddof=1) if len(a) > 1 else 0.0
     print(f"{tag}: {' '.join(f'{v:.4f}' for v in a)}  -> "
-          f"{a.mean():.4f} +- {a.std():.4f}", flush=True)
-    return a.mean(), a.std()
+          f"{a.mean():.4f} +- {sd:.4f} (sample sd, ddof=1)", flush=True)
+    return a.mean(), sd
 
 
 def main():

@@ -26,6 +26,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")  # probes are host-side
 
+from bench import make_youtube_graph  # noqa: E402
 from longtail_parity import REF_DIR, ensure_build_tree  # noqa: E402
 from microf1_scale import softmax_probe  # noqa: E402
 from yt_scale_bench import YT, community_auc, labels  # noqa: E402
@@ -47,8 +48,9 @@ def fast_load_raw(path):
         for line in f:
             sp = line.index(" ")
             names.append(int(line[1:sp]))
-            rows.append(np.fromstring(line[sp + 1:], dtype=np.float32,
-                                      sep=" "))
+            vals = line[sp + 1:].split()
+            rows.append(np.fromiter(vals, dtype=np.float32,
+                                    count=len(vals)))
             if len(rows) >= 100_000:
                 chunks.append(np.stack(rows))
                 rows = []
@@ -90,13 +92,15 @@ def auc_present(vids, rows):
 
 def stats(tag, vals):
     a = np.asarray(vals)
+    sd = a.std(ddof=1) if len(a) > 1 else 0.0
     print(f"{tag}: {' '.join(f'{v:.4f}' for v in a)}  -> "
-          f"{a.mean():.4f} +- {a.std():.4f}", flush=True)
+          f"{a.mean():.4f} +- {sd:.4f} (sample sd, ddof=1)", flush=True)
 
 
 def main():
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     reuse = "--reuse-first" in sys.argv
+    make_youtube_graph(YT)
     lab = labels()
     sub = np.random.default_rng(123).choice(N_FULL, 200_000,
                                             replace=False)

@@ -221,6 +221,10 @@ class TrainDriver:
         self.checkpoint_every = max(1, int(checkpoint_every))
         self.resume = resume
         self.micro_steps = max(1, int(micro_steps))
+        # set again at the end of train(); initialized here so readers
+        # of a driver whose train() hasn't run (or was interrupted)
+        # see 0 instead of AttributeError
+        self.executed_samples = 0
 
     def _wrap_dp(self, step_fn: StepFn) -> StepFn:
         """Data-parallel step: shard_map over per-device keys."""
