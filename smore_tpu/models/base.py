@@ -194,8 +194,10 @@ class TrainDriver:
         batch, so the schedule matches the unhoisted law at per-batch
         granularity. samples_per_step must already count ALL inner
         batches (batch * micro_steps)."""
-        if sharding not in ("dp", "rows"):
-            raise ValueError(f"sharding must be 'dp' or 'rows', got {sharding!r}")
+        if sharding not in ("dp", "rows", "hogwild"):
+            raise ValueError(
+                f"sharding must be 'dp', 'rows' or 'hogwild', got {sharding!r}"
+            )
         if micro_steps > 1 and mesh is not None and sharding == "dp":
             # DP merges per-device deltas EVERY step; hoisting inner
             # batches would change the merge cadence (callers force
@@ -209,6 +211,16 @@ class TrainDriver:
         # "rows" runs ONE logical stream (GSPMD splits the work, not the
         # sample law), so the schedule is unchanged; "dp" multiplies the
         # per-step sample count by the device count.
+        # "hogwild" (multi-chip banded fast path): each device runs an
+        # INDEPENDENT full-law sample stream against a replicated table
+        # copy for a whole jit call, then per-device deltas are
+        # psum-merged -- the TPU mesh analog of the reference's hogwild
+        # threads racing on one shared table with no coordination
+        # (/root/reference/src/model/LINE.cpp:162 `#pragma omp parallel
+        # for`; SURVEY.md 5.8). The merge is collision="sum" at call
+        # cadence: within-call staleness replaces the reference's
+        # unbounded cross-thread staleness, and the merge itself is the
+        # same delta-sum semantic the in-batch collision law gates.
         self.n_shards = (
             1 if (mesh is None or sharding == "rows") else mesh.devices.size
         )
@@ -263,6 +275,7 @@ class TrainDriver:
     def _make_call(self):
         step_fn = self.step_fn
         use_dp = self.mesh is not None and self.sharding == "dp"
+        use_hogwild = self.mesh is not None and self.sharding == "hogwild"
         if use_dp:
             step_fn = self._wrap_dp(step_fn)
         S = self.steps_per_call
@@ -294,7 +307,41 @@ class TrainDriver:
             )
             return state, key, jnp.mean(losses)
 
-        return jax.jit(run, donate_argnums=(0,))
+        if not use_hogwild:
+            return jax.jit(run, donate_argnums=(0,))
+
+        # hogwild: the WHOLE call runs per-device under shard_map (each
+        # device scans S steps on its own PRNG stream against its table
+        # copy), deltas psum-merge once per call (see __init__ docs).
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            from jax import shard_map  # jax >= 0.8
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+
+        mesh = self.mesh
+
+        def hog_run(state, ctx, keys, sched):
+            def shard_fn(state, ctx, keys, sched):
+                new_state, key2, loss = run(state, ctx, keys[0], sched)
+                delta = jax.tree.map(lambda n, o: n - o, new_state, state)
+                delta = jax.lax.psum(delta, "d")
+                state = jax.tree.map(lambda o, d: o + d, state, delta)
+                return state, key2[None], jax.lax.pmean(loss, "d")
+
+            kw = dict(
+                mesh=mesh,
+                in_specs=(P(), P(), P("d"), P()),
+                out_specs=(P(), P("d"), P()),
+            )
+            try:  # jax >= 0.8 renamed check_rep -> check_vma
+                f = shard_map(shard_fn, check_vma=False, **kw)
+            except TypeError:  # pragma: no cover
+                f = shard_map(shard_fn, check_rep=False, **kw)
+            return f(state, ctx, keys, sched)
+
+        return jax.jit(hog_run, donate_argnums=(0,))
 
     def _save_ckpt(self, state: State, key: jax.Array, done: int) -> None:
         from smore_tpu.utils.checkpoint import save_checkpoint
@@ -332,6 +379,12 @@ class TrainDriver:
         if self.checkpoint_path:
             state, key, done = self._maybe_resume(state, key)
         done0 = done
+        if self.mesh is not None and self.sharding == "hogwild":
+            # one independent PRNG stream per device (the analog of the
+            # reference's per-thread RNG); a resumed checkpoint already
+            # holds the (n_dev, 2) key array
+            if key.ndim == 1:
+                key = jax.random.split(key, self.mesh.devices.size)
         if self.mesh is not None and self.sharding == "rows":
             from smore_tpu.parallel.mesh import replicated, shard_state
 

@@ -214,6 +214,46 @@ class LINE(PairModelBase):
 
         return step
 
+    def _make_banded_multiblock_nb_step(self, batch, negatives,
+                                        shared_negatives, hoist):
+        """Multiblock superstep with IN-KERNEL banded negatives (round
+        5): per micro-step the shared-negative pool is drawn from its
+        own band by the exact stratified negative law
+        (BandedTables.build_neg_bands) and updated inside the kernel's
+        third slab stream -- no whole-table cn gather, no deferred
+        d_neg apply (the 11.7 us/micro-step of XLA work measured in
+        experiments/multiblock_breakdown2.py)."""
+        from smore_tpu.ops.pallas_sgns_banded import (
+            sgns_banded_multiblock_nb,
+        )
+
+        band_size = self.banded_tables.band_size
+        Ks = shared_negatives
+        _interp = jax.default_backend() == "cpu"
+
+        def step(state, bt, key, alphas):
+            k1, k2 = jax.random.split(key)
+            if bt.stream is not None:
+                sb, db, src_l, pos_l, _ = bt.draw_banded_stream(
+                    k1, batch, 0, hoist, with_negs=False
+                )
+            else:
+                sb, db, src, pos, _ = bt.draw_banded_batches_hoisted(
+                    k1, batch, 1, 0, hoist
+                )
+                src_l = src - sb[:, None]
+                pos_l = pos - db[:, None]
+            nb, negs_l = bt.draw_neg_banded(k2, Ks, hoist)
+            wvf, wcf, loss_sum = sgns_banded_multiblock_nb(
+                state["wvf"], state["wcf"], sb // band_size,
+                db // band_size, nb, src_l, pos_l, negs_l, alphas,
+                band_size=band_size, k_equiv=negatives,
+                interpret=_interp,
+            )
+            return {"wvf": wvf, "wcf": wcf}, loss_sum / (hoist * batch)
+
+        return step
+
     def _make_banded_multiblock_step(self, batch, negatives,
                                      shared_negatives, hoist):
         """DMA-staged MULTI-band superstep (order-2, group=1): each of
@@ -356,6 +396,19 @@ class LINE(PairModelBase):
         # dim%64==0, batch%128==0): 30.6 M samples/s at EXACT 400M
         # reference parity (0.9650) and gate 0.617 at YT scale,
         # round-4. True additionally enables the CPU interpret path.
+        neg_band: object = "auto",  # in-kernel BANDED negative pools
+        # (multiband path only): each micro-step's shared-negative pool
+        # is drawn from ONE band by the exact stratified negative law
+        # (deg^0.75 band mass x within-band conditional; the per-sample
+        # marginal telescopes to the reference law exactly) and updated
+        # inside the kernel's third DMA-staged slab -- removing the
+        # whole-table cn gather + deferred d_neg scatter (11.7
+        # us/micro-step, experiments/multiblock_breakdown2.py) and
+        # making negative rows fresh per micro-step instead of
+        # per-superstep. Deviation vs the global pool: a step's Ks
+        # negatives share a band (within-step correlation; gated at the
+        # 40M/400M budgets -- PERF_NOTES round-5). "auto" = ON for the
+        # TPU multiband path when Ks is a multiple of 128.
         edge_stream: object = "auto",  # pre-sampled per-stratum edge
         # streams (BandedTables.build_stream): replaces the per-sample
         # random edge-row gather (100% of the measured draw cost) with
@@ -371,15 +424,24 @@ class LINE(PairModelBase):
         auto_batch = batch == 0
         if auto_batch:
             batch = 32768
+        # Multi-chip: the banded fast path runs under a mesh via the
+        # driver's "hogwild" mode (per-device independent full-law
+        # streams on replicated tables, delta-psum merge once per jit
+        # call -- the TPU analog of the reference's hogwild threads,
+        # LINE.cpp:162; see TrainDriver.__init__). Explicit
+        # sharding="rows" (the bigger-than-HBM capacity mode) keeps the
+        # unbanded GSPMD row-sharded path.
         use_banded = bool(
             shared_negatives
             and collision == "sum"
-            and mesh is None
+            and (mesh is None or sharding in ("dp", "hogwild"))
             and 0 < self.graph.n_edges < (1 << 24)
             and n < (1 << 24)
             and (banded is True
                  or (banded == "auto" and n >= BANDED_AUTO_THRESHOLD))
         )
+        if use_banded and mesh is not None:
+            sharding = "hogwild"
         if group == 0:
             group = 1 if (use_banded and self.order == 2) else 8
         if group > 1 and batch % group:
@@ -528,9 +590,24 @@ class LINE(PairModelBase):
                             and edge_stream > 1 else 32)
                     if bt.stream is None:
                         bt.build_stream(mult=mult, seed=self.seed)
-                step_fn = self._make_banded_multiblock_step(
-                    batch, negative_samples, shared_negatives, hoist
+                use_nb = (
+                    shared_negatives % 128 == 0
+                    and (neg_band is True
+                         or (neg_band == "auto" and on_tpu))
                 )
+                if use_nb:
+                    if bt.neg_band_pa is None:
+                        bt.build_neg_bands(
+                            self.graph,
+                            negative_method=self.negative_method,
+                        )
+                    step_fn = self._make_banded_multiblock_nb_step(
+                        batch, negative_samples, shared_negatives, hoist
+                    )
+                else:
+                    step_fn = self._make_banded_multiblock_step(
+                        batch, negative_samples, shared_negatives, hoist
+                    )
                 self.last_driver = driver = TrainDriver(
                     step_fn,
                     ctx=self.banded_tables,
@@ -539,6 +616,8 @@ class LINE(PairModelBase):
                     total_samples=total,
                     steps_per_call=max(1, steps_per_call // hoist),
                     micro_steps=hoist,
+                    mesh=mesh,
+                    sharding=sharding,
                     **self._ckpt_kw(),
                 )
                 # 2-row-folded layout: (N_pad/2, 2D) per table so the
@@ -578,6 +657,8 @@ class LINE(PairModelBase):
                 total_samples=total,
                 steps_per_call=max(1, steps_per_call // hoist),
                 micro_steps=hoist,
+                mesh=mesh,
+                sharding=sharding,
                 **self._ckpt_kw(),
             )
             out = driver.train(state, self._key(), verbose=verbose)

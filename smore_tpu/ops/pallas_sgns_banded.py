@@ -287,6 +287,498 @@ def _make_multi_kernel(band_size: int, D: int):
     return _kernel
 
 
+def _make_multi_kernel_db(band_size: int, D: int):
+    """Double-buffered variant of _make_multi_kernel (round 5): two slab
+    BANKS per table so micro-step s+1's band fetch overlaps micro-step
+    s's compute, and s's write-back overlaps s+1's compute. Same math,
+    same update order, same data -> bit-identical results to the simple
+    kernel on identical inputs (tested).
+
+    Schedule (bank = s % 2, obank = 1 - bank; SYNC = tile 1):
+      i == 0:   s == 0 -> issue fetch(0) into bank (cold start)
+                conf[s] -> wait wb(s-1)[obank], issue fetch(s) (lazy)
+                wait fetch(s)[bank]
+      i == SYNC: ~conf[s] & s > 0 -> wait wb(s-1)[obank]
+                 ~conf[s+1] & s+1 < S -> issue fetch(s+1) into obank
+      i == n_i-1: issue wb(s) from bank; s == S-1 -> wait wb(s)
+    conf[s] (host-computed prefetch scalar) = step s shares a source or
+    context band with step s-1: the prefetch of fetch(s) during step
+    s-1 would race write-back(s-1) on the same HBM band slice, so those
+    steps fetch lazily after the wb wait -- which is exactly the simple
+    kernel's (correct) serial order. Every wb is waited exactly once:
+    at step s+1 (i==0 if conf[s+1], else SYNC), or at exit for wb(S-1).
+
+    VMEM: 4 slabs (2 banks x 2 tables) = 2 * band_size * 2D * 4 B --
+    16.8 MB at band 16400 / D=64. The TPU v5e's physical VMEM is far
+    larger than Mosaic's 16 MB default budget (128 MB; probed: 120 MB
+    scratch compiles and runs), so the caller raises
+    vmem_limit_bytes."""
+
+    H = band_size // 2
+
+    def _kernel(sb_ref, db_ref, conf_ref, fsrc_ref, fpos_ref, params_ref,
+                wvf_in, wcf_in, cn_ref, srcv_ref, posv_ref,
+                wvf_ref, wcf_ref, dneg_ref, loss_ref,
+                slab_v, slab_c, v_s, cp_s, lsum, fsems, wsems):
+        s = pl.program_id(0)
+        i = pl.program_id(1)  # inner tile of the micro-step's batch
+        n_s = pl.num_programs(0)
+        n_i = pl.num_programs(1)
+        alpha = params_ref[s, 0]
+        scale = params_ref[s, 1]
+        kscale = params_ref[s, 2]
+        TB = v_s.shape[0]
+        base = (s * n_i + i) * TB
+        bank = jax.lax.rem(s, 2)
+        obank = 1 - bank
+        SYNC = min(1, n_i - 1)
+
+        def fetch(step, slot):
+            return (
+                pltpu.make_async_copy(
+                    wvf_ref.at[pl.ds(sb_ref[step] * H, H), :],
+                    slab_v.at[slot], fsems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    wcf_ref.at[pl.ds(db_ref[step] * H, H), :],
+                    slab_c.at[slot], fsems.at[slot, 1]),
+            )
+
+        def wback(step, slot):
+            return (
+                pltpu.make_async_copy(
+                    slab_v.at[slot],
+                    wvf_ref.at[pl.ds(sb_ref[step] * H, H), :],
+                    wsems.at[slot, 0]),
+                pltpu.make_async_copy(
+                    slab_c.at[slot],
+                    wcf_ref.at[pl.ds(db_ref[step] * H, H), :],
+                    wsems.at[slot, 1]),
+            )
+
+        @pl.when(i == 0)
+        def _():
+            @pl.when(s == 0)
+            def _():
+                fv, fc = fetch(0, bank)
+                fv.start()
+                fc.start()
+
+            @pl.when(jnp.logical_and(s > 0, conf_ref[s] == 1))
+            def _():
+                wv, wc = wback(s - 1, obank)
+                wv.wait()
+                wc.wait()
+                fv, fc = fetch(s, bank)
+                fv.start()
+                fc.start()
+
+            fv, fc = fetch(s, bank)
+            fv.wait()
+            fc.wait()
+
+        @pl.when(jnp.logical_and(s == 0, i == 0))
+        def _():
+            lsum[0, 0] = 0.0
+
+        @pl.when(i == SYNC)
+        def _():
+            @pl.when(jnp.logical_and(s > 0, conf_ref[s] == 0))
+            def _():
+                wv, wc = wback(s - 1, obank)
+                wv.wait()
+                wc.wait()
+
+            @pl.when(jnp.logical_and(s + 1 < n_s,
+                                     conf_ref[jnp.minimum(s + 1, n_s - 1)]
+                                     == 0))
+            def _():
+                fv, fc = fetch(jnp.minimum(s + 1, n_s - 1), obank)
+                fv.start()
+                fc.start()
+
+        # ---- gather: full folded rows -> scratch (serial VMEM reads)
+        sv = slab_v.at[bank]
+        sc = slab_c.at[bank]
+
+        def gbody(j, _):
+            j0 = j * _U
+            for k in range(_U):
+                r = fsrc_ref[base + j0 + k]
+                v_s[pl.ds(j0 + k, 1), :] = sv[pl.ds(r, 1), :]
+                r2 = fpos_ref[base + j0 + k]
+                cp_s[pl.ds(j0 + k, 1), :] = sc[pl.ds(r2, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, TB // _U, gbody, 0, unroll=1)
+
+        # ---- vectorized half selection by parity (see _make_multi_kernel)
+        tr = TB // 128
+        par_s = (srcv_ref[0, pl.ds(i * tr, tr), :].reshape(TB)
+                 & 1)[:, None]
+        par_p = (posv_ref[0, pl.ds(i * tr, tr), :].reshape(TB)
+                 & 1)[:, None]
+        v = jnp.where(par_s == 1, v_s[:, D:2 * D], v_s[:, 0:D])
+        cp = jnp.where(par_p == 1, cp_s[:, D:2 * D], cp_s[:, 0:D])
+        cn = cn_ref[0]
+
+        # ---- fused SGNS gradient math (VPU + MXU) ----
+        s_pos = jax.nn.sigmoid(jnp.sum(v * cp, axis=1, keepdims=True))
+        g_pos = (1.0 - s_pos) * alpha
+        s_neg = jax.nn.sigmoid(
+            jnp.dot(v, cn.T, preferred_element_type=jnp.float32)
+        )
+        g_neg = s_neg * (-scale)
+
+        eps = 1e-7
+        lsum[0, 0] += jnp.sum(-jnp.log(s_pos + eps)) - kscale * jnp.sum(
+            jnp.log(1.0 - s_neg + eps)
+        )
+
+        @pl.when(i == 0)
+        def _():
+            dneg_ref[0] = jnp.zeros_like(dneg_ref[0])
+
+        dneg_ref[0] += jnp.dot(
+            g_neg.T, v, preferred_element_type=jnp.float32
+        )
+
+        d_src = g_pos * cp + jnp.dot(
+            g_neg, cn, preferred_element_type=jnp.float32
+        )
+        d_pos = g_pos * v
+        zeros = jnp.zeros((TB, D), jnp.float32)
+        v_s[:] = jnp.where(
+            par_s == 1,
+            jnp.concatenate([zeros, d_src], axis=1),
+            jnp.concatenate([d_src, zeros], axis=1),
+        )
+        cp_s[:] = jnp.where(
+            par_p == 1,
+            jnp.concatenate([zeros, d_pos], axis=1),
+            jnp.concatenate([d_pos, zeros], axis=1),
+        )
+
+        # ---- scatter: serial full-row RMW into the slabs ----
+        def sbody(j, _):
+            j0 = j * _U
+            for k in range(_U):
+                r = fsrc_ref[base + j0 + k]
+                sv[pl.ds(r, 1), :] = (
+                    sv[pl.ds(r, 1), :] + v_s[pl.ds(j0 + k, 1), :]
+                )
+                r2 = fpos_ref[base + j0 + k]
+                sc[pl.ds(r2, 1), :] = (
+                    sc[pl.ds(r2, 1), :] + cp_s[pl.ds(j0 + k, 1), :]
+                )
+            return 0
+
+        jax.lax.fori_loop(0, TB // _U, sbody, 0, unroll=1)
+
+        # ---- write-back (async; waited at step s+1 or at exit) ----
+        @pl.when(i == n_i - 1)
+        def _():
+            wv, wc = wback(s, bank)
+            wv.start()
+            wc.start()
+
+            @pl.when(s == n_s - 1)
+            def _():
+                wv2, wc2 = wback(s, bank)
+                wv2.wait()
+                wc2.wait()
+                loss_ref[0, 0] = lsum[0, 0]
+
+    return _kernel
+
+
+def _make_multi_kernel_nb(band_size: int, D: int, Ks: int):
+    """Double-buffered multiblock kernel with IN-KERNEL banded
+    negatives (round 5): each micro-step's shared-negative pool lives
+    in its own context-table band (drawn by the exact stratified
+    negative law, BandedTables.build_neg_bands), staged through a third
+    slab stream. The negative rows are gathered from the slab at tile
+    0 and their accumulated deltas are scattered back into the slab at
+    the last tile -- so the whole-table cn gather and the deferred
+    d_neg scatter-apply (11.7 us/micro-step of XLA time,
+    experiments/multiblock_breakdown2.py) disappear, and negative rows
+    are FRESH per micro-step instead of per-superstep.
+
+    Extra scheduling state vs _make_multi_kernel_db (all host-computed
+    prefetch scalars):
+      nb[s]    negative band index
+      ninc[s]  nb == db: the negative band IS the context band -- use
+               slab_c directly (two slab copies of one HBM band would
+               lose updates at write-back)
+      confn[s] ~ninc and nb collides with step s-1's context-table
+               write-backs {db[s-1], nb[s-1]} -> fetch_n lazily
+      wbi[s]   wb_n issued at step s (= ~ninc[s])
+    conf[s] additionally covers db[s] == nb[s-1] (wb_n is a context-
+    table write)."""
+
+    H = band_size // 2
+
+    def _kernel(sb_ref, db_ref, nb_ref, conf_ref, confn_ref, ninc_ref,
+                wbi_ref, fsrc_ref, fpos_ref, fneg_ref, params_ref,
+                wvf_in, wcf_in, srcv_ref, posv_ref, negv_ref,
+                wvf_ref, wcf_ref, loss_ref,
+                slab_v, slab_c, slab_n, v_s, cp_s, cn_s, cn_u, acc,
+                lsum, fsems, wsems):
+        s = pl.program_id(0)
+        i = pl.program_id(1)
+        n_s = pl.num_programs(0)
+        n_i = pl.num_programs(1)
+        alpha = params_ref[s, 0]
+        scale = params_ref[s, 1]
+        kscale = params_ref[s, 2]
+        TB = v_s.shape[0]
+        base = (s * n_i + i) * TB
+        nbase = s * Ks
+        bank = jax.lax.rem(s, 2)
+        obank = 1 - bank
+        SYNC = min(1, n_i - 1)
+
+        def fetch(step, slot, which):
+            band_ref, tbl = {
+                0: (sb_ref, wvf_ref), 1: (db_ref, wcf_ref),
+                2: (nb_ref, wcf_ref),
+            }[which]
+            slab = (slab_v, slab_c, slab_n)[which]
+            return pltpu.make_async_copy(
+                tbl.at[pl.ds(band_ref[step] * H, H), :],
+                slab.at[slot], fsems.at[slot, which])
+
+        def wback(step, slot, which):
+            band_ref, tbl = {
+                0: (sb_ref, wvf_ref), 1: (db_ref, wcf_ref),
+                2: (nb_ref, wcf_ref),
+            }[which]
+            slab = (slab_v, slab_c, slab_n)[which]
+            return pltpu.make_async_copy(
+                slab.at[slot], tbl.at[pl.ds(band_ref[step] * H, H), :],
+                wsems.at[slot, which])
+
+        def wait_prev_wbs():
+            wback(s - 1, obank, 0).wait()
+            wback(s - 1, obank, 1).wait()
+
+            @pl.when(wbi_ref[jnp.maximum(s - 1, 0)] == 1)
+            def _():
+                wback(s - 1, obank, 2).wait()
+
+        @pl.when(i == 0)
+        def _():
+            @pl.when(s == 0)
+            def _():
+                fetch(0, bank, 0).start()
+                fetch(0, bank, 1).start()
+
+                @pl.when(ninc_ref[0] == 0)
+                def _():
+                    fetch(0, bank, 2).start()
+
+            lazy = jnp.logical_and(
+                s > 0,
+                jnp.logical_or(conf_ref[s] == 1, confn_ref[s] == 1),
+            )
+
+            @pl.when(lazy)
+            def _():
+                wait_prev_wbs()
+
+                @pl.when(conf_ref[s] == 1)
+                def _():
+                    fetch(s, bank, 0).start()
+                    fetch(s, bank, 1).start()
+
+                @pl.when(jnp.logical_and(confn_ref[s] == 1,
+                                         ninc_ref[s] == 0))
+                def _():
+                    fetch(s, bank, 2).start()
+
+            fetch(s, bank, 0).wait()
+            fetch(s, bank, 1).wait()
+
+            @pl.when(ninc_ref[s] == 0)
+            def _():
+                fetch(s, bank, 2).wait()
+
+            # ---- negative rows: slab -> cn_s (serial, Ks rows) ----
+            acc[:] = jnp.zeros_like(acc)
+
+            def ngather(slab):
+                def body(j, _):
+                    j0 = j * _U
+                    for k in range(_U):
+                        r = fneg_ref[nbase + j0 + k]
+                        cn_s[pl.ds(j0 + k, 1), :] = slab[pl.ds(r, 1), :]
+                    return 0
+
+                jax.lax.fori_loop(0, Ks // _U, body, 0, unroll=1)
+
+            @pl.when(ninc_ref[s] == 1)
+            def _():
+                ngather(slab_c.at[bank])
+
+            @pl.when(ninc_ref[s] == 0)
+            def _():
+                ngather(slab_n.at[bank])
+
+            par_n = (negv_ref[0].reshape(Ks) & 1)[:, None]
+            cn_u[:] = jnp.where(par_n == 1, cn_s[:, D:2 * D],
+                                cn_s[:, 0:D])
+
+        @pl.when(jnp.logical_and(s == 0, i == 0))
+        def _():
+            lsum[0, 0] = 0.0
+
+        @pl.when(i == SYNC)
+        def _():
+            @pl.when(jnp.logical_and(
+                s > 0,
+                jnp.logical_and(conf_ref[s] == 0, confn_ref[s] == 0),
+            ))
+            def _():
+                wait_prev_wbs()
+
+            nxt = jnp.minimum(s + 1, n_s - 1)
+
+            @pl.when(jnp.logical_and(s + 1 < n_s, conf_ref[nxt] == 0))
+            def _():
+                fetch(nxt, obank, 0).start()
+                fetch(nxt, obank, 1).start()
+
+            @pl.when(jnp.logical_and(
+                s + 1 < n_s,
+                jnp.logical_and(confn_ref[nxt] == 0, ninc_ref[nxt] == 0),
+            ))
+            def _():
+                fetch(nxt, obank, 2).start()
+
+        # ---- gather: full folded rows -> scratch (serial VMEM reads)
+        sv = slab_v.at[bank]
+        sc = slab_c.at[bank]
+
+        def gbody(j, _):
+            j0 = j * _U
+            for k in range(_U):
+                r = fsrc_ref[base + j0 + k]
+                v_s[pl.ds(j0 + k, 1), :] = sv[pl.ds(r, 1), :]
+                r2 = fpos_ref[base + j0 + k]
+                cp_s[pl.ds(j0 + k, 1), :] = sc[pl.ds(r2, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, TB // _U, gbody, 0, unroll=1)
+
+        # ---- vectorized half selection by parity ----
+        tr = TB // 128
+        par_s = (srcv_ref[0, pl.ds(i * tr, tr), :].reshape(TB)
+                 & 1)[:, None]
+        par_p = (posv_ref[0, pl.ds(i * tr, tr), :].reshape(TB)
+                 & 1)[:, None]
+        v = jnp.where(par_s == 1, v_s[:, D:2 * D], v_s[:, 0:D])
+        cp = jnp.where(par_p == 1, cp_s[:, D:2 * D], cp_s[:, 0:D])
+        cn = cn_u[:]
+
+        # ---- fused SGNS gradient math (VPU + MXU) ----
+        s_pos = jax.nn.sigmoid(jnp.sum(v * cp, axis=1, keepdims=True))
+        g_pos = (1.0 - s_pos) * alpha
+        s_neg = jax.nn.sigmoid(
+            jnp.dot(v, cn.T, preferred_element_type=jnp.float32)
+        )
+        g_neg = s_neg * (-scale)
+
+        eps = 1e-7
+        lsum[0, 0] += jnp.sum(-jnp.log(s_pos + eps)) - kscale * jnp.sum(
+            jnp.log(1.0 - s_neg + eps)
+        )
+        acc[:] += jnp.dot(g_neg.T, v, preferred_element_type=jnp.float32)
+
+        d_src = g_pos * cp + jnp.dot(
+            g_neg, cn, preferred_element_type=jnp.float32
+        )
+        d_pos = g_pos * v
+        zeros = jnp.zeros((TB, D), jnp.float32)
+        v_s[:] = jnp.where(
+            par_s == 1,
+            jnp.concatenate([zeros, d_src], axis=1),
+            jnp.concatenate([d_src, zeros], axis=1),
+        )
+        cp_s[:] = jnp.where(
+            par_p == 1,
+            jnp.concatenate([zeros, d_pos], axis=1),
+            jnp.concatenate([d_pos, zeros], axis=1),
+        )
+
+        # ---- scatter: serial full-row RMW into the slabs ----
+        def sbody(j, _):
+            j0 = j * _U
+            for k in range(_U):
+                r = fsrc_ref[base + j0 + k]
+                sv[pl.ds(r, 1), :] = (
+                    sv[pl.ds(r, 1), :] + v_s[pl.ds(j0 + k, 1), :]
+                )
+                r2 = fpos_ref[base + j0 + k]
+                sc[pl.ds(r2, 1), :] = (
+                    sc[pl.ds(r2, 1), :] + cp_s[pl.ds(j0 + k, 1), :]
+                )
+            return 0
+
+        jax.lax.fori_loop(0, TB // _U, sbody, 0, unroll=1)
+
+        # ---- negative delta scatter + write-back (last tile) ----
+        @pl.when(i == n_i - 1)
+        def _():
+            par_n = (negv_ref[0].reshape(Ks) & 1)[:, None]
+            zk = jnp.zeros((Ks, D), jnp.float32)
+            a = acc[:]
+            cn_s[:] = jnp.where(
+                par_n == 1,
+                jnp.concatenate([zk, a], axis=1),
+                jnp.concatenate([a, zk], axis=1),
+            )
+
+            def nscatter(slab):
+                def body(j, _):
+                    j0 = j * _U
+                    for k in range(_U):
+                        r = fneg_ref[nbase + j0 + k]
+                        slab[pl.ds(r, 1), :] = (
+                            slab[pl.ds(r, 1), :]
+                            + cn_s[pl.ds(j0 + k, 1), :]
+                        )
+                    return 0
+
+                jax.lax.fori_loop(0, Ks // _U, body, 0, unroll=1)
+
+            @pl.when(ninc_ref[s] == 1)
+            def _():
+                nscatter(slab_c.at[bank])
+
+            @pl.when(ninc_ref[s] == 0)
+            def _():
+                nscatter(slab_n.at[bank])
+
+            wback(s, bank, 0).start()
+            wback(s, bank, 1).start()
+
+            @pl.when(wbi_ref[s] == 1)
+            def _():
+                wback(s, bank, 2).start()
+
+            @pl.when(s == n_s - 1)
+            def _():
+                wback(s, bank, 0).wait()
+                wback(s, bank, 1).wait()
+
+                @pl.when(wbi_ref[s] == 1)
+                def _():
+                    wback(s, bank, 2).wait()
+
+                loss_ref[0, 0] = lsum[0, 0]
+
+    return _kernel
+
+
 def fold_table(w: jnp.ndarray) -> jnp.ndarray:
     """(N, D) -> (N/2, 2D) 2-row fold (row-major preserving reshape)."""
     n, d = w.shape
@@ -302,6 +794,126 @@ def unfold_table(wf: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit, static_argnames=("band_size", "k_equiv", "interpret")
 )
+def sgns_banded_multiblock_nb(
+    wvf: jnp.ndarray,  # (Np/2, 2D) 2-row-FOLDED padded vertex table
+    wcf: jnp.ndarray,  # (Np/2, 2D) folded context table
+    sb_idx: jnp.ndarray,  # (S,) i32 source band indices per micro-step
+    db_idx: jnp.ndarray,  # (S,) i32 context band indices
+    nb_idx: jnp.ndarray,  # (S,) i32 NEGATIVE band indices
+    src_l: jnp.ndarray,  # (S, B) i32 band-LOCAL source rows (unfolded)
+    pos_l: jnp.ndarray,  # (S, B) i32 band-LOCAL positive rows
+    negs_l: jnp.ndarray,  # (S, Ks) i32 band-LOCAL negative rows
+    alpha: jnp.ndarray,  # (S,) per-micro-step learning rates
+    band_size: int,
+    k_equiv: int = 5,
+    interpret: bool = False,
+):
+    """Multiblock superstep with IN-KERNEL banded negatives
+    (_make_multi_kernel_nb): negatives are drawn per-step from their
+    own band (exact stratified negative law), gathered from and
+    applied into a third DMA-staged slab stream. No cn snapshot, no
+    deferred d_neg -- the caller does nothing after this call.
+    Returns (wvf', wcf', loss_sum ())."""
+    S, B = src_l.shape
+    D2 = wvf.shape[1]
+    D = D2 // 2
+    Ks = negs_l.shape[1]
+    TB = min(1024, B)
+    assert B % TB == 0 and TB % _U == 0, (B, TB)
+    assert B % 128 == 0, B
+    assert Ks % 128 == 0 and Ks % _U == 0, Ks
+    assert band_size % 16 == 0, band_size
+    assert D2 % 128 == 0 or interpret, (
+        "multiblock kernel needs folded rows that are a multiple of "
+        "128 lanes (D multiple of 64)"
+    )
+
+    alphas = jnp.asarray(alpha, jnp.float32).reshape(S)
+    params = jnp.stack(
+        [alphas, alphas * (k_equiv / Ks),
+         jnp.full((S,), k_equiv / Ks, jnp.float32)], axis=1
+    )
+    sb_idx = sb_idx.astype(jnp.int32)
+    db_idx = db_idx.astype(jnp.int32)
+    nb_idx = nb_idx.astype(jnp.int32)
+    src_l = src_l.astype(jnp.int32)
+    pos_l = pos_l.astype(jnp.int32)
+    negs_l = negs_l.astype(jnp.int32)
+
+    ninc = (nb_idx == db_idx).astype(jnp.int32)
+    z1 = jnp.zeros((1,), jnp.int32)
+    prev_db, prev_nb = db_idx[:-1], nb_idx[:-1]
+    conf = jnp.concatenate([z1, (
+        (sb_idx[1:] == sb_idx[:-1])
+        | (db_idx[1:] == prev_db) | (db_idx[1:] == prev_nb)
+    ).astype(jnp.int32)])
+    confn = jnp.concatenate([z1, (
+        (nb_idx[1:] == prev_db) | (nb_idx[1:] == prev_nb)
+    ).astype(jnp.int32)]) * (1 - ninc)
+    wbi = 1 - ninc
+
+    prefetch = [sb_idx, db_idx, nb_idx, conf, confn, ninc, wbi,
+                (src_l >> 1).reshape(-1), (pos_l >> 1).reshape(-1),
+                (negs_l >> 1).reshape(-1), params]
+    npre = len(prefetch)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=npre,
+        grid=(S, B // TB),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, B // 128, 128), lambda s, i, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B // 128, 128), lambda s, i, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Ks // 128, 128), lambda s, i, *_: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1), lambda s, i, *_: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, band_size // 2, D2), jnp.float32),  # v banks
+            pltpu.VMEM((2, band_size // 2, D2), jnp.float32),  # c banks
+            pltpu.VMEM((2, band_size // 2, D2), jnp.float32),  # n banks
+            pltpu.VMEM((TB, D2), jnp.float32),
+            pltpu.VMEM((TB, D2), jnp.float32),
+            pltpu.VMEM((Ks, D2), jnp.float32),  # gathered neg rows
+            pltpu.VMEM((Ks, D), jnp.float32),   # unfolded negatives
+            pltpu.VMEM((Ks, D), jnp.float32),   # d_neg accumulator
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    wvf2, wcf2, loss = pl.pallas_call(
+        _make_multi_kernel_nb(band_size, D, Ks),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(wvf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(wcf.shape, jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        input_output_aliases={npre: 0, npre + 1: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*prefetch,
+      wvf, wcf, src_l.reshape(S, B // 128, 128),
+      pos_l.reshape(S, B // 128, 128),
+      negs_l.reshape(S, Ks // 128, 128))
+    return wvf2, wcf2, loss[0, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("band_size", "k_equiv", "interpret",
+                              "pipeline")
+)
 def sgns_banded_multiblock(
     wvf: jnp.ndarray,  # (Np/2, 2D) 2-row-FOLDED padded vertex table
     wcf: jnp.ndarray,  # (Np/2, 2D) folded context table
@@ -315,19 +927,24 @@ def sgns_banded_multiblock(
     band_size: int,
     k_equiv: int = 5,
     interpret: bool = False,
+    pipeline: str = "db",
 ):
     """S micro-steps, each on its OWN band pair, in one pallas_call:
     the folded tables stay in HBM and each step's band pair is staged
-    through two half-height VMEM slabs by in-kernel DMA
-    (_make_multi_kernel). Both tables donated. Returns (wvf', wcf',
-    d_neg (S, Ks, D), loss_sum ())."""
+    through VMEM slabs by in-kernel DMA. pipeline="db" (production,
+    round 5): double-buffered slab banks -- the next step's band fetch
+    and the previous step's write-back overlap compute
+    (_make_multi_kernel_db; bit-identical results to "simple").
+    pipeline="simple": the round-4 single-bank kernel (fetch -> compute
+    -> write-back serialized per micro-step). Both tables donated.
+    Returns (wvf', wcf', d_neg (S, Ks, D), loss_sum ())."""
     S, B = src_l.shape
     D2 = wvf.shape[1]
     D = D2 // 2
     Ks = cn.shape[1]
-    TB = min(1024, B)  # the two (TB, 2D) gather/delta tiles must fit
-    # beside the two half-height band slabs (2048 tiles overflow the
-    # 16M scoped-VMEM budget by ~0.8M at band 16392)
+    TB = min(1024, B)  # two tiles per micro-step so the SYNC point
+    # (tile 1) lands mid-step: the wb(s-1) wait and fetch(s+1) issue
+    # overlap tile 0's compute on the "db" pipeline
     assert B % TB == 0 and TB % _U == 0, (B, TB)
     assert B % 128 == 0, B  # parity inputs ship as (S, B//128, 128)
     # folded slab height band_size/2 must be sublane-aligned (multiple
@@ -337,15 +954,35 @@ def sgns_banded_multiblock(
         "multiblock kernel needs folded rows that are a multiple of "
         "128 lanes (D multiple of 64)"
     )
+    assert pipeline in ("db", "simple"), pipeline
 
     alphas = jnp.asarray(alpha, jnp.float32).reshape(S)
     params = jnp.stack(
         [alphas, alphas * (k_equiv / Ks),
          jnp.full((S,), k_equiv / Ks, jnp.float32)], axis=1
     )
+    sb_idx = sb_idx.astype(jnp.int32)
+    db_idx = db_idx.astype(jnp.int32)
+    db_pipe = pipeline == "db"
+    if db_pipe:
+        # conflict flags: step s shares a band (either side) with step
+        # s-1 -> its fetch cannot be prefetched during step s-1 (it
+        # would race that step's write-back on the same HBM slice);
+        # the kernel fetches those steps lazily after the wb wait
+        conf = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            ((sb_idx[1:] == sb_idx[:-1])
+             | (db_idx[1:] == db_idx[:-1])).astype(jnp.int32),
+        ])
+        prefetch = [sb_idx, db_idx, conf]
+        n_banks = 2
+    else:
+        prefetch = [sb_idx, db_idx]
+        n_banks = 1
+    npre = len(prefetch) + 3
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=npre,
         grid=(S, B // TB),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -365,19 +1002,30 @@ def sgns_banded_multiblock(
             pl.BlockSpec((1, 1), lambda s, i, *_: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((band_size // 2, D2), jnp.float32),  # src slab
-            pltpu.VMEM((band_size // 2, D2), jnp.float32),  # ctx slab
+        scratch_shapes=(
+            [
+                pltpu.VMEM((n_banks, band_size // 2, D2), jnp.float32),
+                pltpu.VMEM((n_banks, band_size // 2, D2), jnp.float32),
+            ] if db_pipe else [
+                pltpu.VMEM((band_size // 2, D2), jnp.float32),
+                pltpu.VMEM((band_size // 2, D2), jnp.float32),
+            ]
+        ) + [
             pltpu.VMEM((TB, D2), jnp.float32),  # gathered folded rows
             pltpu.VMEM((TB, D2), jnp.float32),  # gathered folded rows
             pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
+        ] + (
+            [pltpu.SemaphoreType.DMA((2, 2)),
+             pltpu.SemaphoreType.DMA((2, 2))] if db_pipe
+            else [pltpu.SemaphoreType.DMA((4,))]
+        ),
     )
     src_l = src_l.astype(jnp.int32)
     pos_l = pos_l.astype(jnp.int32)
+    kern = (_make_multi_kernel_db(band_size, D) if db_pipe
+            else _make_multi_kernel(band_size, D))
     wvf2, wcf2, d_neg, loss = pl.pallas_call(
-        _make_multi_kernel(band_size, D),
+        kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(wvf.shape, jnp.float32),
@@ -385,10 +1033,16 @@ def sgns_banded_multiblock(
             jax.ShapeDtypeStruct((S, Ks, D), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
-        # operand numbering includes the 5 scalar-prefetch args
-        input_output_aliases={5: 0, 6: 1},
+        # operand numbering includes the scalar-prefetch args
+        input_output_aliases={npre: 0, npre + 1: 1},
+        compiler_params=pltpu.CompilerParams(
+            # the v5e's physical VMEM (128 MB) far exceeds Mosaic's
+            # default scoped budget; the db pipeline's 4 slab banks
+            # need ~17 MB at band 16400 plus tiles/blocks
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ) if db_pipe else None,
         interpret=interpret,
-    )(sb_idx.astype(jnp.int32), db_idx.astype(jnp.int32),
+    )(*prefetch,
       (src_l >> 1).reshape(-1), (pos_l >> 1).reshape(-1), params,
       wvf, wcf, cn, src_l.reshape(S, B // 128, 128),
       pos_l.reshape(S, B // 128, 128))

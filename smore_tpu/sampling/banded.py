@@ -131,11 +131,21 @@ class BandedTables:
     # [offset, length]. None when not built.
     stream: jnp.ndarray | None = None
     stream_meta: jnp.ndarray | None = None
+    # optional BANDED-negative alias tables (build_neg_bands): the
+    # global negative law stratified by band so the in-kernel banded
+    # negative pool (sgns_banded_multiblock negatives_mode="banded")
+    # can draw band-local negatives. neg_band_pa: (n_bands, 2) f32
+    # band-level alias by within-band deg^0.75 mass; neg_local_pa:
+    # (Np, 2) f32 [prob, LOCAL alias] per-band alias over its
+    # band_size slots (padded slots carry zero mass).
+    neg_band_pa: jnp.ndarray | None = None
+    neg_local_pa: jnp.ndarray | None = None
 
     def tree_flatten(self):
         children = (self.band_pa, self.band_meta, self.edge_pa,
                     self.edge_seg, self.ctx_pa, self.neg_pa,
-                    self.stream, self.stream_meta)
+                    self.stream, self.stream_meta,
+                    self.neg_band_pa, self.neg_local_pa)
         return children, (self.band_size, self.n_rows_padded,
                           self.n_bands, self.two_d)
 
@@ -143,7 +153,8 @@ class BandedTables:
     def tree_unflatten(cls, aux, children):
         return cls(*children[:6], band_size=aux[0], n_rows_padded=aux[1],
                    n_bands=aux[2], two_d=aux[3], stream=children[6],
-                   stream_meta=children[7])
+                   stream_meta=children[7], neg_band_pa=children[8],
+                   neg_local_pa=children[9])
 
     # ------------------------------------------------------------------ #
     @staticmethod
@@ -316,13 +327,71 @@ class BandedTables:
             np.stack([soff, L], 1), jnp.int32)
         return self
 
+    def build_neg_bands(self, g: Graph, negative_method: str = "degrees",
+                        power: float = 0.75) -> "BandedTables":
+        """Stratify the global negative law by band (round 5).
+
+        P(neg = v) = deg(v)^0.75 / Z telescopes as P(band) * P(v | band)
+        with P(band) = band's deg^0.75 mass share -- the same exactness
+        argument as the edge-law banding (module docstring). Lets the
+        multiblock kernel draw each micro-step's shared-negative pool
+        from ONE band and apply the negative updates in-slab, removing
+        the whole-table gather/apply from the step (the measured 11.7
+        us/micro-step left on the XLA side, multiblock_breakdown2).
+        Deviation vs the global pool: a step's Ks negatives share a
+        band (within-step correlation only; the per-sample marginal is
+        exact) -- quality-gated like every banded config."""
+        from smore_tpu.sampling.tables import _negative_distribution
+
+        mass = _negative_distribution(g, negative_method).astype(np.float64)
+        mass = np.where(mass > 0, mass**power, 0.0)
+        pad = np.zeros(self.n_rows_padded, dtype=np.float64)
+        pad[: len(mass)] = mass
+        band_mass = pad.reshape(self.n_bands, self.band_size).sum(1)
+        bp, ba = build_alias(band_mass, power=1.0)
+        ba = np.where(ba < 0, np.arange(self.n_bands), ba)
+        indptr = np.arange(self.n_bands + 1, dtype=np.int64) * self.band_size
+        lp, la = build_alias_segmented(pad, indptr, power=1.0)
+        slot_local = np.arange(self.n_rows_padded, dtype=np.int64) % (
+            self.band_size
+        )
+        la = np.where(la >= 0, la, slot_local)  # local alias ids
+        self.neg_band_pa = jnp.asarray(np.stack([bp, ba], 1), jnp.float32)
+        self.neg_local_pa = jnp.asarray(np.stack([lp, la], 1), jnp.float32)
+        return self
+
+    def draw_neg_banded(self, key: jax.Array, n_negs: int, steps: int):
+        """Per micro-step: a negative BAND by its deg^0.75 mass share,
+        then n_negs iid within-band draws from the conditional law
+        (build_neg_bands). Returns (nb (steps,) band indices,
+        negs_l (steps, n_negs) band-LOCAL row ids)."""
+        kb, kl = jax.random.split(key)
+        nbnd = self.neg_band_pa.shape[0]
+        ub = jax.random.uniform(kb, (steps, 2))
+        i = jnp.minimum((ub[:, 0] * nbnd).astype(jnp.int32), nbnd - 1)
+        brow = self.neg_band_pa.at[i].get(mode="promise_in_bounds")
+        nb = jnp.where(ub[:, 1] < brow[:, 0], i,
+                       brow[:, 1].astype(jnp.int32))
+        ul = jax.random.uniform(kl, (steps, n_negs, 2))
+        r = jnp.minimum((ul[:, :, 0] * self.band_size).astype(jnp.int32),
+                        self.band_size - 1)
+        rows = self.neg_local_pa.at[
+            (nb[:, None] * self.band_size + r).reshape(-1)
+        ].get(mode="promise_in_bounds").reshape(steps, n_negs, 2)
+        negs_l = jnp.where(ul[:, :, 1] < rows[:, :, 0], r,
+                           rows[:, :, 1].astype(jnp.int32))
+        return nb, negs_l
+
     def draw_banded_stream(
         self, key: jax.Array, batch: int, n_negs: int, steps: int,
+        with_negs: bool = True,
     ):
         """Stream-backed hoisted draw: per micro-step, one stratum
         alias draw + one contiguous window of its pre-sampled stream
         (build_stream). Returns (sb, db, src_l, pos_l, negs) with
-        src/pos BAND-LOCAL, shapes as draw_banded_batches_hoisted."""
+        src/pos BAND-LOCAL, shapes as draw_banded_batches_hoisted.
+        with_negs=False skips the global negative draw (negs=None) --
+        the banded-negative kernel draws its own via draw_neg_banded."""
         kb, ko, kn = jax.random.split(key, 3)
 
         ub = jax.random.uniform(kb, (steps, 2))
@@ -357,6 +426,9 @@ class BandedTables:
         ])
         src_l = packed >> 16
         pos_l = packed & 0xFFFF
+
+        if not with_negs:
+            return sb, db, src_l, pos_l, None
 
         un = jax.random.uniform(kn, (steps, n_negs, 2))
         n = self.neg_pa.shape[0]

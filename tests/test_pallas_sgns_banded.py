@@ -143,3 +143,89 @@ def test_multiblock_equals_sequential_fused_steps(comm_graph):
                                rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gc), np.asarray(rc),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_multiblock_db_pipeline_bit_identical():
+    """The double-buffered pipeline (round 5) is BIT-identical to the
+    simple single-bank kernel on identical inputs, including adjacent
+    band conflicts on both sides (the lazy-fetch path) and runs of
+    repeated strata."""
+    from smore_tpu.ops.pallas_sgns_banded import (
+        fold_table,
+        sgns_banded_multiblock,
+    )
+
+    rng = np.random.default_rng(3)
+    S, B, BAND_L, Ks, D, NB = 8, 128, 64, 16, 64, 5
+    n_pad = NB * BAND_L
+    wv = rng.standard_normal((n_pad, D)).astype(np.float32) * 0.1
+    wc = rng.standard_normal((n_pad, D)).astype(np.float32) * 0.1
+    # adjacent conflicts: src side at 2, ctx side at 4, triple run at 5-7
+    sb = np.asarray([0, 1, 1, 2, 3, 4, 4, 4], np.int32)
+    db = np.asarray([1, 2, 3, 0, 0, 2, 2, 2], np.int32)
+    src = rng.integers(0, BAND_L, (S, B)).astype(np.int32)
+    pos = rng.integers(0, BAND_L, (S, B)).astype(np.int32)
+    cn = rng.standard_normal((S, Ks, D)).astype(np.float32) * 0.1
+    alphas = np.linspace(0.05, 0.03, S).astype(np.float32)
+
+    outs = {}
+    for pipe in ("simple", "db"):
+        outs[pipe] = sgns_banded_multiblock(
+            fold_table(jnp.asarray(wv)), fold_table(jnp.asarray(wc)),
+            jnp.asarray(sb), jnp.asarray(db), jnp.asarray(src),
+            jnp.asarray(pos), jnp.asarray(cn), jnp.asarray(alphas),
+            band_size=BAND_L, interpret=True, pipeline=pipe,
+        )
+    for a, b, nm in zip(outs["simple"], outs["db"],
+                        ("wvf", "wcf", "d_neg", "loss")):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), nm
+
+
+def test_multiblock_banded_negatives_equals_sequential(comm_graph):
+    """sgns_banded_multiblock_nb (in-kernel banded negative pools,
+    round 5) == S sequential fused banded steps whose negatives are the
+    same band-local rows lifted to global ids, including steps where
+    the negative band IS the context band (ninc path) and adjacent
+    band conflicts (lazy-fetch path)."""
+    from smore_tpu.ops.pallas_sgns_banded import (
+        fold_table,
+        sgns_banded_multiblock_nb,
+        unfold_table,
+    )
+    from smore_tpu.ops.update import sgns_shared_negs_step_banded
+
+    g = comm_graph
+    n_pad = -(-g.n_vertices // BAND) * BAND
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    D, B, Ks, S = 64, 128, 128, 6
+    wv = jax.random.normal(k1, (n_pad, D)) * 0.1
+    wc = jax.random.normal(k2, (n_pad, D)) * 0.1
+    # band pairs: step 1 shares sb with 0 (conf), step 3 nb == db
+    # (ninc), step 4 nb == step 3's db (confn), step 5 revisits
+    sb_idx = jnp.asarray([1, 1, 2, 0, 2, 1], jnp.int32)
+    db_idx = jnp.asarray([2, 0, 1, 2, 0, 2], jnp.int32)
+    nb_idx = jnp.asarray([0, 1, 0, 2, 2, 1], jnp.int32)
+    src_l = jax.random.randint(k3, (S, B), 0, BAND)
+    pos_l = jax.random.randint(k4, (S, B), 0, BAND)
+    negs_l = jax.random.randint(k5, (S, Ks), 0, BAND)
+    alphas = jnp.linspace(0.05, 0.03, S).astype(jnp.float32)
+
+    gvf, gcf, gloss = sgns_banded_multiblock_nb(
+        fold_table(wv), fold_table(wc), sb_idx, db_idx, nb_idx,
+        src_l, pos_l, negs_l, alphas, band_size=BAND, interpret=True,
+    )
+    gv, gc = unfold_table(gvf), unfold_table(gcf)
+
+    rv, rc = wv, wc
+    for t in range(S):
+        rv, rc, _ = sgns_shared_negs_step_banded(
+            rv, rc, db_idx[t] * BAND, BAND,
+            src_l[t] + sb_idx[t] * BAND, pos_l[t] + db_idx[t] * BAND,
+            negs_l[t] + nb_idx[t] * BAND, alphas[t],
+            src_band_start=sb_idx[t] * BAND, fused=True,
+        )
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(rv),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(rc),
+                               rtol=2e-5, atol=1e-6)
