@@ -247,7 +247,7 @@ class LINE(PairModelBase):
             wvf, wcf, loss_sum = sgns_banded_multiblock_nb(
                 state["wvf"], state["wcf"], sb // band_size,
                 db // band_size, nb, src_l, pos_l, negs_l, alphas,
-                band_size=band_size, k_equiv=negatives,
+                band_size=band_size, nb2=bt.nb2, k_equiv=negatives,
                 interpret=_interp,
             )
             return {"wvf": wvf, "wcf": wcf}, loss_sum / (hoist * batch)
@@ -406,9 +406,11 @@ class LINE(PairModelBase):
         # us/micro-step, experiments/multiblock_breakdown2.py) and
         # making negative rows fresh per micro-step instead of
         # per-superstep. Deviation vs the global pool: a step's Ks
-        # negatives share a band (within-step correlation; gated at the
-        # 40M/400M budgets -- PERF_NOTES round-5). "auto" = ON for the
-        # TPU multiband path when Ks is a multiple of 128.
+        # negatives share a window (within-step correlation). Measured
+        # (round 5): +4 M/s (39.0 vs 34.9) but the 40M gate tracks the
+        # window size (0.6087@16400 / 0.6033@3280 / 0.5866@656 /
+        # 0.5752@400 vs ref 0.6091 +- 0.0037) -- "auto" = OFF until a
+        # config holds the gate at parity; True opts in (window 3280).
         edge_stream: object = "auto",  # pre-sampled per-stratum edge
         # streams (BandedTables.build_stream): replaces the per-sample
         # random edge-row gather (100% of the measured draw cost) with
@@ -590,16 +592,19 @@ class LINE(PairModelBase):
                             and edge_stream > 1 else 32)
                     if bt.stream is None:
                         bt.build_stream(mult=mult, seed=self.seed)
-                use_nb = (
-                    shared_negatives % 128 == 0
-                    and (neg_band is True
-                         or (neg_band == "auto" and on_tpu))
-                )
+                use_nb = neg_band is True and shared_negatives % 8 == 0
                 if use_nb:
                     if bt.neg_band_pa is None:
+                        # 3280 rows when it divides the band (true
+                        # for MULTI_BAND_SIZE 16400; best measured
+                        # quality/speed point of the window ladder);
+                        # else whole-band windows (small test graphs)
+                        nb2 = (3280 if band_size % 3280 == 0
+                               else band_size)
                         bt.build_neg_bands(
                             self.graph,
                             negative_method=self.negative_method,
+                            nb2=nb2,
                         )
                     step_fn = self._make_banded_multiblock_nb_step(
                         batch, negative_samples, shared_negatives, hoist

@@ -491,35 +491,43 @@ def _make_multi_kernel_db(band_size: int, D: int):
     return _kernel
 
 
-def _make_multi_kernel_nb(band_size: int, D: int, Ks: int):
+def _make_multi_kernel_nb(band_size: int, D: int, Ks: int, nb2: int):
     """Double-buffered multiblock kernel with IN-KERNEL banded
     negatives (round 5): each micro-step's shared-negative pool lives
-    in its own context-table band (drawn by the exact stratified
-    negative law, BandedTables.build_neg_bands), staged through a third
-    slab stream. The negative rows are gathered from the slab at tile
-    0 and their accumulated deltas are scattered back into the slab at
-    the last tile -- so the whole-table cn gather and the deferred
-    d_neg scatter-apply (11.7 us/micro-step of XLA time,
-    experiments/multiblock_breakdown2.py) disappear, and negative rows
-    are FRESH per micro-step instead of per-superstep.
+    in its own nb2-row context-table WINDOW (drawn by the exact
+    stratified negative law, BandedTables.build_neg_bands), staged
+    through a third -- tiny -- slab stream (nb2=400 -> 0.1 MB vs the
+    4.2 MB full-band variant that measured 29.4 vs 34.9 M/s). The
+    negative rows are gathered from the slab at tile 0 and their
+    accumulated deltas are scattered back at the last tile -- so the
+    whole-table cn gather and the deferred d_neg scatter-apply (11.7
+    us/micro-step of XLA time, experiments/multiblock_breakdown2.py)
+    disappear, and negative rows are FRESH per micro-step instead of
+    per-superstep.
 
-    Extra scheduling state vs _make_multi_kernel_db (all host-computed
-    prefetch scalars):
-      nb[s]    negative band index
-      ninc[s]  nb == db: the negative band IS the context band -- use
-               slab_c directly (two slab copies of one HBM band would
-               lose updates at write-back)
-      confn[s] ~ninc and nb collides with step s-1's context-table
-               write-backs {db[s-1], nb[s-1]} -> fetch_n lazily
+    nb2 divides band_size, so a negative window sits inside EXACTLY
+    one context band. Extra scheduling state vs _make_multi_kernel_db
+    (all host-computed prefetch scalars):
+      nb[s]    negative window index (granularity nb2)
+      ninc[s]  the window lies inside THIS step's context band -- use
+               slab_c directly at folded offset noff[s] (two slab
+               copies of overlapping HBM rows would lose updates at
+               write-back)
+      noff[s]  nb*nb2/2 - db*band/2 (valid when ninc)
+      confn[s] ~ninc and the window collides with step s-1's context-
+               table write-backs (inside band db[s-1], or == window
+               nb[s-1]) -> fetch_n lazily
       wbi[s]   wb_n issued at step s (= ~ninc[s])
-    conf[s] additionally covers db[s] == nb[s-1] (wb_n is a context-
-    table write)."""
+    conf[s] additionally covers nb[s-1]'s window lying inside band
+    db[s] (wb_n is a context-table write)."""
 
     H = band_size // 2
+    Hn = nb2 // 2
 
     def _kernel(sb_ref, db_ref, nb_ref, conf_ref, confn_ref, ninc_ref,
-                wbi_ref, fsrc_ref, fpos_ref, fneg_ref, params_ref,
-                wvf_in, wcf_in, srcv_ref, posv_ref, negv_ref,
+                noff_ref, wbi_ref, fsrc_ref, fpos_ref, fneg_ref,
+                params_ref,
+                wvf_in, wcf_in, srcv_ref, posv_ref, negp_ref,
                 wvf_ref, wcf_ref, loss_ref,
                 slab_v, slab_c, slab_n, v_s, cp_s, cn_s, cn_u, acc,
                 lsum, fsems, wsems):
@@ -538,23 +546,23 @@ def _make_multi_kernel_nb(band_size: int, D: int, Ks: int):
         SYNC = min(1, n_i - 1)
 
         def fetch(step, slot, which):
-            band_ref, tbl = {
-                0: (sb_ref, wvf_ref), 1: (db_ref, wcf_ref),
-                2: (nb_ref, wcf_ref),
+            band_ref, tbl, h = {
+                0: (sb_ref, wvf_ref, H), 1: (db_ref, wcf_ref, H),
+                2: (nb_ref, wcf_ref, Hn),
             }[which]
             slab = (slab_v, slab_c, slab_n)[which]
             return pltpu.make_async_copy(
-                tbl.at[pl.ds(band_ref[step] * H, H), :],
+                tbl.at[pl.ds(band_ref[step] * h, h), :],
                 slab.at[slot], fsems.at[slot, which])
 
         def wback(step, slot, which):
-            band_ref, tbl = {
-                0: (sb_ref, wvf_ref), 1: (db_ref, wcf_ref),
-                2: (nb_ref, wcf_ref),
+            band_ref, tbl, h = {
+                0: (sb_ref, wvf_ref, H), 1: (db_ref, wcf_ref, H),
+                2: (nb_ref, wcf_ref, Hn),
             }[which]
             slab = (slab_v, slab_c, slab_n)[which]
             return pltpu.make_async_copy(
-                slab.at[slot], tbl.at[pl.ds(band_ref[step] * H, H), :],
+                slab.at[slot], tbl.at[pl.ds(band_ref[step] * h, h), :],
                 wsems.at[slot, which])
 
         def wait_prev_wbs():
@@ -605,11 +613,11 @@ def _make_multi_kernel_nb(band_size: int, D: int, Ks: int):
             # ---- negative rows: slab -> cn_s (serial, Ks rows) ----
             acc[:] = jnp.zeros_like(acc)
 
-            def ngather(slab):
+            def ngather(slab, off):
                 def body(j, _):
                     j0 = j * _U
                     for k in range(_U):
-                        r = fneg_ref[nbase + j0 + k]
+                        r = off + fneg_ref[nbase + j0 + k]
                         cn_s[pl.ds(j0 + k, 1), :] = slab[pl.ds(r, 1), :]
                     return 0
 
@@ -617,15 +625,15 @@ def _make_multi_kernel_nb(band_size: int, D: int, Ks: int):
 
             @pl.when(ninc_ref[s] == 1)
             def _():
-                ngather(slab_c.at[bank])
+                ngather(slab_c.at[bank], noff_ref[s])
 
             @pl.when(ninc_ref[s] == 0)
             def _():
-                ngather(slab_n.at[bank])
+                ngather(slab_n.at[bank], 0)
 
-            par_n = (negv_ref[0].reshape(Ks) & 1)[:, None]
-            cn_u[:] = jnp.where(par_n == 1, cn_s[:, D:2 * D],
-                                cn_s[:, 0:D])
+            parD = negp_ref[0]  # (Ks, D) f32 parity mask
+            cn_u[:] = (cn_s[:, 0:D] * (1.0 - parD)
+                       + cn_s[:, D:2 * D] * parD)
 
         @pl.when(jnp.logical_and(s == 0, i == 0))
         def _():
@@ -728,20 +736,17 @@ def _make_multi_kernel_nb(band_size: int, D: int, Ks: int):
         # ---- negative delta scatter + write-back (last tile) ----
         @pl.when(i == n_i - 1)
         def _():
-            par_n = (negv_ref[0].reshape(Ks) & 1)[:, None]
-            zk = jnp.zeros((Ks, D), jnp.float32)
+            parD = negp_ref[0]  # (Ks, D) f32 parity mask
             a = acc[:]
-            cn_s[:] = jnp.where(
-                par_n == 1,
-                jnp.concatenate([zk, a], axis=1),
-                jnp.concatenate([a, zk], axis=1),
+            cn_s[:] = jnp.concatenate(
+                [a * (1.0 - parD), a * parD], axis=1
             )
 
-            def nscatter(slab):
+            def nscatter(slab, off):
                 def body(j, _):
                     j0 = j * _U
                     for k in range(_U):
-                        r = fneg_ref[nbase + j0 + k]
+                        r = off + fneg_ref[nbase + j0 + k]
                         slab[pl.ds(r, 1), :] = (
                             slab[pl.ds(r, 1), :]
                             + cn_s[pl.ds(j0 + k, 1), :]
@@ -752,11 +757,11 @@ def _make_multi_kernel_nb(band_size: int, D: int, Ks: int):
 
             @pl.when(ninc_ref[s] == 1)
             def _():
-                nscatter(slab_c.at[bank])
+                nscatter(slab_c.at[bank], noff_ref[s])
 
             @pl.when(ninc_ref[s] == 0)
             def _():
-                nscatter(slab_n.at[bank])
+                nscatter(slab_n.at[bank], 0)
 
             wback(s, bank, 0).start()
             wback(s, bank, 1).start()
@@ -792,28 +797,29 @@ def unfold_table(wf: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("band_size", "k_equiv", "interpret")
+    jax.jit, static_argnames=("band_size", "nb2", "k_equiv", "interpret")
 )
 def sgns_banded_multiblock_nb(
     wvf: jnp.ndarray,  # (Np/2, 2D) 2-row-FOLDED padded vertex table
     wcf: jnp.ndarray,  # (Np/2, 2D) folded context table
     sb_idx: jnp.ndarray,  # (S,) i32 source band indices per micro-step
     db_idx: jnp.ndarray,  # (S,) i32 context band indices
-    nb_idx: jnp.ndarray,  # (S,) i32 NEGATIVE band indices
+    nb_idx: jnp.ndarray,  # (S,) i32 NEGATIVE WINDOW indices (nb2 rows)
     src_l: jnp.ndarray,  # (S, B) i32 band-LOCAL source rows (unfolded)
     pos_l: jnp.ndarray,  # (S, B) i32 band-LOCAL positive rows
-    negs_l: jnp.ndarray,  # (S, Ks) i32 band-LOCAL negative rows
+    negs_l: jnp.ndarray,  # (S, Ks) i32 WINDOW-LOCAL negative rows
     alpha: jnp.ndarray,  # (S,) per-micro-step learning rates
     band_size: int,
+    nb2: int = 400,
     k_equiv: int = 5,
     interpret: bool = False,
 ):
     """Multiblock superstep with IN-KERNEL banded negatives
     (_make_multi_kernel_nb): negatives are drawn per-step from their
-    own band (exact stratified negative law), gathered from and
-    applied into a third DMA-staged slab stream. No cn snapshot, no
-    deferred d_neg -- the caller does nothing after this call.
-    Returns (wvf', wcf', loss_sum ())."""
+    own nb2-row window (exact stratified negative law), gathered from
+    and applied into a third -- tiny -- DMA-staged slab stream. No cn
+    snapshot, no deferred d_neg -- the caller does nothing after this
+    call. Returns (wvf', wcf', loss_sum ())."""
     S, B = src_l.shape
     D2 = wvf.shape[1]
     D = D2 // 2
@@ -821,8 +827,9 @@ def sgns_banded_multiblock_nb(
     TB = min(1024, B)
     assert B % TB == 0 and TB % _U == 0, (B, TB)
     assert B % 128 == 0, B
-    assert Ks % 128 == 0 and Ks % _U == 0, Ks
+    assert Ks % _U == 0, Ks
     assert band_size % 16 == 0, band_size
+    assert band_size % nb2 == 0 and nb2 % 16 == 0, (band_size, nb2)
     assert D2 % 128 == 0 or interpret, (
         "multiblock kernel needs folded rows that are a multiple of "
         "128 lanes (D multiple of 64)"
@@ -840,19 +847,24 @@ def sgns_banded_multiblock_nb(
     pos_l = pos_l.astype(jnp.int32)
     negs_l = negs_l.astype(jnp.int32)
 
-    ninc = (nb_idx == db_idx).astype(jnp.int32)
+    ratio = band_size // nb2  # windows per band
+    nb_band = nb_idx // ratio  # context band containing each window
+    ninc = (nb_band == db_idx).astype(jnp.int32)
+    # folded offset of the window inside the context slab (valid when
+    # ninc): window row 0 = global nb*nb2 = band db*band_size + delta
+    noff = (nb_idx * (nb2 // 2) - db_idx * (band_size // 2)) * ninc
     z1 = jnp.zeros((1,), jnp.int32)
-    prev_db, prev_nb = db_idx[:-1], nb_idx[:-1]
+    prev_db, prev_nb, prev_nbb = db_idx[:-1], nb_idx[:-1], nb_band[:-1]
     conf = jnp.concatenate([z1, (
         (sb_idx[1:] == sb_idx[:-1])
-        | (db_idx[1:] == prev_db) | (db_idx[1:] == prev_nb)
+        | (db_idx[1:] == prev_db) | (db_idx[1:] == prev_nbb)
     ).astype(jnp.int32)])
     confn = jnp.concatenate([z1, (
-        (nb_idx[1:] == prev_db) | (nb_idx[1:] == prev_nb)
+        (nb_band[1:] == prev_db) | (nb_idx[1:] == prev_nb)
     ).astype(jnp.int32)]) * (1 - ninc)
     wbi = 1 - ninc
 
-    prefetch = [sb_idx, db_idx, nb_idx, conf, confn, ninc, wbi,
+    prefetch = [sb_idx, db_idx, nb_idx, conf, confn, ninc, noff, wbi,
                 (src_l >> 1).reshape(-1), (pos_l >> 1).reshape(-1),
                 (negs_l >> 1).reshape(-1), params]
     npre = len(prefetch)
@@ -867,7 +879,7 @@ def sgns_banded_multiblock_nb(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B // 128, 128), lambda s, i, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Ks // 128, 128), lambda s, i, *_: (s, 0, 0),
+            pl.BlockSpec((1, Ks, D), lambda s, i, *_: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -879,7 +891,7 @@ def sgns_banded_multiblock_nb(
         scratch_shapes=[
             pltpu.VMEM((2, band_size // 2, D2), jnp.float32),  # v banks
             pltpu.VMEM((2, band_size // 2, D2), jnp.float32),  # c banks
-            pltpu.VMEM((2, band_size // 2, D2), jnp.float32),  # n banks
+            pltpu.VMEM((2, nb2 // 2, D2), jnp.float32),  # neg banks
             pltpu.VMEM((TB, D2), jnp.float32),
             pltpu.VMEM((TB, D2), jnp.float32),
             pltpu.VMEM((Ks, D2), jnp.float32),  # gathered neg rows
@@ -890,8 +902,8 @@ def sgns_banded_multiblock_nb(
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
-    wvf2, wcf2, loss = pl.pallas_call(
-        _make_multi_kernel_nb(band_size, D, Ks),
+    _call = pl.pallas_call(
+        _make_multi_kernel_nb(band_size, D, Ks, nb2),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(wvf.shape, jnp.float32),
@@ -903,10 +915,14 @@ def sgns_banded_multiblock_nb(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(*prefetch,
+    )
+    negp = jnp.broadcast_to(
+        (negs_l & 1).astype(jnp.float32)[:, :, None], (S, Ks, D)
+    )
+    wvf2, wcf2, loss = _call(*prefetch,
       wvf, wcf, src_l.reshape(S, B // 128, 128),
       pos_l.reshape(S, B // 128, 128),
-      negs_l.reshape(S, Ks // 128, 128))
+      negp)
     return wvf2, wcf2, loss[0, 0]
 
 

@@ -132,14 +132,17 @@ class BandedTables:
     stream: jnp.ndarray | None = None
     stream_meta: jnp.ndarray | None = None
     # optional BANDED-negative alias tables (build_neg_bands): the
-    # global negative law stratified by band so the in-kernel banded
-    # negative pool (sgns_banded_multiblock negatives_mode="banded")
-    # can draw band-local negatives. neg_band_pa: (n_bands, 2) f32
-    # band-level alias by within-band deg^0.75 mass; neg_local_pa:
-    # (Np, 2) f32 [prob, LOCAL alias] per-band alias over its
-    # band_size slots (padded slots carry zero mass).
+    # global negative law stratified by WINDOWS of nb2 rows (a finer
+    # granularity than the edge bands -- nb2 divides band_size, so a
+    # negative window always sits inside exactly one context band) so
+    # the in-kernel banded negative pool can draw window-local
+    # negatives and stage a tiny (nb2/2, 2D) slab. neg_band_pa:
+    # (Np/nb2, 2) f32 window-level alias by within-window deg^0.75
+    # mass; neg_local_pa: (Np, 2) f32 [prob, LOCAL alias] per-window
+    # alias over its nb2 slots (padded slots carry zero mass).
     neg_band_pa: jnp.ndarray | None = None
     neg_local_pa: jnp.ndarray | None = None
+    nb2: int = 0
 
     def tree_flatten(self):
         children = (self.band_pa, self.band_meta, self.edge_pa,
@@ -147,14 +150,15 @@ class BandedTables:
                     self.stream, self.stream_meta,
                     self.neg_band_pa, self.neg_local_pa)
         return children, (self.band_size, self.n_rows_padded,
-                          self.n_bands, self.two_d)
+                          self.n_bands, self.two_d, self.nb2)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children[:6], band_size=aux[0], n_rows_padded=aux[1],
                    n_bands=aux[2], two_d=aux[3], stream=children[6],
                    stream_meta=children[7], neg_band_pa=children[8],
-                   neg_local_pa=children[9])
+                   neg_local_pa=children[9],
+                   nb2=aux[4] if len(aux) > 4 else 0)
 
     # ------------------------------------------------------------------ #
     @staticmethod
@@ -328,43 +332,53 @@ class BandedTables:
         return self
 
     def build_neg_bands(self, g: Graph, negative_method: str = "degrees",
-                        power: float = 0.75) -> "BandedTables":
-        """Stratify the global negative law by band (round 5).
+                        power: float = 0.75, nb2: int = 400,
+                        ) -> "BandedTables":
+        """Stratify the global negative law by nb2-row WINDOWS (round 5).
 
-        P(neg = v) = deg(v)^0.75 / Z telescopes as P(band) * P(v | band)
-        with P(band) = band's deg^0.75 mass share -- the same exactness
-        argument as the edge-law banding (module docstring). Lets the
-        multiblock kernel draw each micro-step's shared-negative pool
-        from ONE band and apply the negative updates in-slab, removing
-        the whole-table gather/apply from the step (the measured 11.7
-        us/micro-step left on the XLA side, multiblock_breakdown2).
-        Deviation vs the global pool: a step's Ks negatives share a
-        band (within-step correlation only; the per-sample marginal is
-        exact) -- quality-gated like every banded config."""
+        P(neg = v) = deg(v)^0.75 / Z telescopes as P(window) *
+        P(v | window) with P(window) = the window's deg^0.75 mass share
+        -- the same exactness argument as the edge-law banding (module
+        docstring). Lets the multiblock kernel draw each micro-step's
+        shared-negative pool from ONE window and apply the negative
+        updates in-slab, removing the whole-table gather/apply from the
+        step (the measured 11.7 us/micro-step left on the XLA side,
+        multiblock_breakdown2). nb2 must divide band_size (a window
+        then sits inside exactly one context band -- the kernel's
+        containment case) and keep the folded slab sublane-aligned
+        (nb2 % 16 == 0); at 400 rows the slab DMA is ~0.1 MB/step --
+        negligible, unlike a full-band negative slab (measured 29.4 vs
+        34.9 M/s: a 4.2 MB third slab stream LOSES). Deviation vs the
+        global pool: a step's Ks negatives share a window (within-step
+        correlation only; the per-sample marginal is exact) --
+        quality-gated like every banded config."""
         from smore_tpu.sampling.tables import _negative_distribution
 
+        if self.band_size % nb2 or nb2 % 16:
+            raise ValueError(f"nb2 {nb2} must divide band_size "
+                             f"{self.band_size} and be a multiple of 16")
         mass = _negative_distribution(g, negative_method).astype(np.float64)
         mass = np.where(mass > 0, mass**power, 0.0)
         pad = np.zeros(self.n_rows_padded, dtype=np.float64)
         pad[: len(mass)] = mass
-        band_mass = pad.reshape(self.n_bands, self.band_size).sum(1)
-        bp, ba = build_alias(band_mass, power=1.0)
-        ba = np.where(ba < 0, np.arange(self.n_bands), ba)
-        indptr = np.arange(self.n_bands + 1, dtype=np.int64) * self.band_size
+        n_win = self.n_rows_padded // nb2
+        win_mass = pad.reshape(n_win, nb2).sum(1)
+        bp, ba = build_alias(win_mass, power=1.0)
+        ba = np.where(ba < 0, np.arange(n_win), ba)
+        indptr = np.arange(n_win + 1, dtype=np.int64) * nb2
         lp, la = build_alias_segmented(pad, indptr, power=1.0)
-        slot_local = np.arange(self.n_rows_padded, dtype=np.int64) % (
-            self.band_size
-        )
+        slot_local = np.arange(self.n_rows_padded, dtype=np.int64) % nb2
         la = np.where(la >= 0, la, slot_local)  # local alias ids
         self.neg_band_pa = jnp.asarray(np.stack([bp, ba], 1), jnp.float32)
         self.neg_local_pa = jnp.asarray(np.stack([lp, la], 1), jnp.float32)
+        self.nb2 = nb2
         return self
 
     def draw_neg_banded(self, key: jax.Array, n_negs: int, steps: int):
-        """Per micro-step: a negative BAND by its deg^0.75 mass share,
-        then n_negs iid within-band draws from the conditional law
-        (build_neg_bands). Returns (nb (steps,) band indices,
-        negs_l (steps, n_negs) band-LOCAL row ids)."""
+        """Per micro-step: a negative WINDOW by its deg^0.75 mass share,
+        then n_negs iid within-window draws from the conditional law
+        (build_neg_bands). Returns (nb (steps,) window indices,
+        negs_l (steps, n_negs) window-LOCAL row ids)."""
         kb, kl = jax.random.split(key)
         nbnd = self.neg_band_pa.shape[0]
         ub = jax.random.uniform(kb, (steps, 2))
@@ -373,10 +387,10 @@ class BandedTables:
         nb = jnp.where(ub[:, 1] < brow[:, 0], i,
                        brow[:, 1].astype(jnp.int32))
         ul = jax.random.uniform(kl, (steps, n_negs, 2))
-        r = jnp.minimum((ul[:, :, 0] * self.band_size).astype(jnp.int32),
-                        self.band_size - 1)
+        r = jnp.minimum((ul[:, :, 0] * self.nb2).astype(jnp.int32),
+                        self.nb2 - 1)
         rows = self.neg_local_pa.at[
-            (nb[:, None] * self.band_size + r).reshape(-1)
+            (nb[:, None] * self.nb2 + r).reshape(-1)
         ].get(mode="promise_in_bounds").reshape(steps, n_negs, 2)
         negs_l = jnp.where(ul[:, :, 1] < rows[:, :, 0], r,
                            rows[:, :, 1].astype(jnp.int32))

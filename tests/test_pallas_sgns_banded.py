@@ -201,19 +201,25 @@ def test_multiblock_banded_negatives_equals_sequential(comm_graph):
     D, B, Ks, S = 64, 128, 128, 6
     wv = jax.random.normal(k1, (n_pad, D)) * 0.1
     wc = jax.random.normal(k2, (n_pad, D)) * 0.1
-    # band pairs: step 1 shares sb with 0 (conf), step 3 nb == db
-    # (ninc), step 4 nb == step 3's db (confn), step 5 revisits
+    # band pairs: step 1 shares sb with 0 (conf), step 3's neg window
+    # lies inside its own db band (ninc, nonzero offset), step 4's
+    # window was inside step 3's db band (confn), step 5 revisits.
+    # Negative windows are NB2=16 rows (finer than the 64-row bands);
+    # window w lives in band w // 4.
+    NB2 = 16
     sb_idx = jnp.asarray([1, 1, 2, 0, 2, 1], jnp.int32)
     db_idx = jnp.asarray([2, 0, 1, 2, 0, 2], jnp.int32)
-    nb_idx = jnp.asarray([0, 1, 0, 2, 2, 1], jnp.int32)
+    #            band:    0  1  0  2   2   1      (window // 4)
+    nb_idx = jnp.asarray([1, 4, 3, 11, 10, 6], jnp.int32)
     src_l = jax.random.randint(k3, (S, B), 0, BAND)
     pos_l = jax.random.randint(k4, (S, B), 0, BAND)
-    negs_l = jax.random.randint(k5, (S, Ks), 0, BAND)
+    negs_l = jax.random.randint(k5, (S, Ks), 0, NB2)
     alphas = jnp.linspace(0.05, 0.03, S).astype(jnp.float32)
 
     gvf, gcf, gloss = sgns_banded_multiblock_nb(
         fold_table(wv), fold_table(wc), sb_idx, db_idx, nb_idx,
-        src_l, pos_l, negs_l, alphas, band_size=BAND, interpret=True,
+        src_l, pos_l, negs_l, alphas, band_size=BAND, nb2=NB2,
+        interpret=True,
     )
     gv, gc = unfold_table(gvf), unfold_table(gcf)
 
@@ -222,7 +228,7 @@ def test_multiblock_banded_negatives_equals_sequential(comm_graph):
         rv, rc, _ = sgns_shared_negs_step_banded(
             rv, rc, db_idx[t] * BAND, BAND,
             src_l[t] + sb_idx[t] * BAND, pos_l[t] + db_idx[t] * BAND,
-            negs_l[t] + nb_idx[t] * BAND, alphas[t],
+            negs_l[t] + nb_idx[t] * NB2, alphas[t],
             src_band_start=sb_idx[t] * BAND, fused=True,
         )
     np.testing.assert_allclose(np.asarray(gv), np.asarray(rv),
