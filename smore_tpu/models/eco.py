@@ -30,7 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from smore_tpu.models.base import clamp_batch, PairModelBase, TrainDriver, init_embedding
-from smore_tpu.ops.community import choice_softmax_step, dchoice_step
+from smore_tpu.ops.community import (
+    choice_softmax_step,
+    choice_softmax_step_shared_negs,
+    dchoice_step,
+    dchoice_step_shared_negs,
+)
 from smore_tpu.sampling.fields import FieldTables
 
 
@@ -64,10 +69,12 @@ class ECO(PairModelBase):
         neg_t = FieldTables.build(g)
         return (self.build_sampler(), src_t, neg_t)
 
-    def _make_step(self, batch, negatives, collision):
+    def _make_step(self, batch, negatives, collision,
+                   shared_negatives=0):
         R = self.rounds
         reg = self.reg
         head = self.head
+        Kp = shared_negatives
 
         def step(state, ctx, key, alpha):
             tables, src_t, neg_t = ctx
@@ -84,6 +91,17 @@ class ECO(PairModelBase):
                 v2 = tables.target_sample(None, v1, u2=u[:, 0])
                 v3 = tables.target_sample(None, v2, u2=u[:, 1])
                 v3 = tables.target_sample(None, v3, u2=u[:, 2])
+                if Kp:
+                    pool = tables.negative_sample(k3, (2, Kp))
+                    w, l1 = choice_softmax_step_shared_negs(
+                        state["vertex"], v1, v2, pool[0], alpha,
+                        k_equiv=negatives, reg=reg, collision=collision,
+                    )
+                    w, l2 = choice_softmax_step_shared_negs(
+                        w, v1, v3, pool[1], alpha * 0.5,
+                        k_equiv=negatives, reg=reg, collision=collision,
+                    )
+                    return {"vertex": w}, l1 + l2
                 negs = tables.negative_sample(k3, (batch, 2, negatives))
                 w, l1 = choice_softmax_step(
                     state["vertex"], v1, v2, negs[:, 0], alpha, reg=reg,
@@ -122,6 +140,13 @@ class ECO(PairModelBase):
             c1 = tables.target_sample(None, vB, u2=u[:, 0])
             c2 = tables.target_sample(None, c1, u2=u[:, 1])
             c2 = tables.target_sample(None, c2, u2=u[:, 2])
+            if Kp:
+                pool = tables.negative_sample(k3, (Kp,))
+                w, loss = dchoice_step_shared_negs(
+                    state["vertex"], vB, c1, c2, pool, alpha,
+                    k_equiv=negatives, reg=reg, collision=collision,
+                )
+                return {"vertex": w}, loss
             negs = tables.negative_sample(k3, (batch * R, negatives))
 
             w, loss = dchoice_step(
@@ -141,12 +166,20 @@ class ECO(PairModelBase):
         batch: int = 2048,
         steps_per_call: int = 64,
         collision: str = "sum",
+        shared_negatives: int = 128,  # Kp-row shared pool per step
+        # (dchoice/choice_softmax *_shared_negs: sampled-softmax
+        # estimator with k_equiv/Kp-scaled partition mass -- the
+        # recall_rank head keeps per-sample field-matched negatives).
+        # Zoo-gated at AUC/recall parity (PERF_NOTES round-5).
         verbose: bool = True,
     ) -> None:
         self.reg = reg
         batch = clamp_batch(self.graph.n_vertices, batch)
+        if self.head == "recall_rank":
+            shared_negatives = 0
         driver = TrainDriver(
-            self._make_step(batch, negative_samples, collision),
+            self._make_step(batch, negative_samples, collision,
+                            shared_negatives),
             ctx=self._make_ctx(),
             samples_per_step=batch,
             alpha=alpha,

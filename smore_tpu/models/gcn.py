@@ -29,7 +29,7 @@ from smore_tpu.models.base import (
     zeros_embedding,
 )
 from smore_tpu.io.embeddings import save_embeddings
-from smore_tpu.ops.community import cbow_step
+from smore_tpu.ops.community import cbow_step, cbow_step_shared_negs
 from smore_tpu.sampling.fields import FieldTables
 
 
@@ -61,11 +61,13 @@ class GCN(PairModelBase):
         neg_t = FieldTables.build(g, weights=np.ones(g.n_vertices))
         return (self.build_sampler(), src_t, neg_t)
 
-    def _make_step(self, batch, negatives, collision):
+    def _make_step(self, batch, negatives, collision,
+                   shared_negatives=0):
         S = self.walk_steps
         reg = self.reg
         has_fields = self.graph.n_fields > 1
         nf = self.neg_field if has_fields else 0
+        Kp = shared_negatives
 
         def step(state, ctx, key, alpha):
             tables, src_t, neg_t = ctx
@@ -94,6 +96,20 @@ class GCN(PairModelBase):
                 > 0
             ).astype(jnp.float32)
 
+            if Kp:
+                # ONE pool of Kp negative sets scored against the whole
+                # batch on the MXU (exactly expectation-preserving: the
+                # CBOW gradient is additive in negative sets) -- removes
+                # the K*S rows/sample that dominate the step
+                pool = neg_t.negative_field_sample(
+                    k3, jnp.full((Kp, S), nf, dtype=jnp.int32),
+                )
+                w, loss = cbow_step_shared_negs(
+                    state["vertex"], vctx, cctx, pool, alpha,
+                    k_equiv=negatives, reg=reg, mask=mask,
+                    collision=collision,
+                )
+                return {"vertex": w, "context": state["context"]}, loss
             negs = neg_t.negative_field_sample(
                 k3,
                 jnp.full((batch, negatives, S), nf, dtype=jnp.int32),
@@ -121,6 +137,10 @@ class GCN(PairModelBase):
         batch: int = 2048,
         steps_per_call: int = 64,
         collision: str = "sum",
+        shared_negatives: int = 128,  # Kp-SET shared pool per step
+        # (cbow_step_shared_negs; 0 = per-sample reference sets).
+        # Exactly expectation-preserving (additive sigmoid gradient);
+        # zoo-gated at AUC parity (PERF_NOTES round-5).
         verbose: bool = True,
     ) -> None:
         self.walk_steps = walk_steps
@@ -136,8 +156,11 @@ class GCN(PairModelBase):
             # graph smaller than one sample's neighbor bag: collisions are
             # unavoidable even at batch=1, "sum" oscillates and diverges
             collision = "mean"
+        if shared_negatives:
+            shared_negatives = min(shared_negatives, batch)
         driver = TrainDriver(
-            self._make_step(batch, negative_samples, collision),
+            self._make_step(batch, negative_samples, collision,
+                            shared_negatives),
             ctx=self._make_ctx(),
             samples_per_step=batch,
             alpha=alpha,
@@ -207,12 +230,14 @@ class TEXTGCNdev(GCN):
         self.num_events = 5
         self.num_words = 5
 
-    def _make_step(self, batch, negatives, collision):
+    def _make_step(self, batch, negatives, collision,
+                   shared_negatives=0):
         E = self.num_events
         Wn = self.num_words
         reg = self.reg
         has_fields = self.graph.n_fields > 1
         nf = 1 if has_fields else 0
+        Kp = shared_negatives
 
         def step(state, ctx, key, alpha):
             tables, src_t, neg_t = ctx
@@ -250,41 +275,69 @@ class TEXTGCNdev(GCN):
             back_err = alpha * E * (g1[:, None] * ev_row - reg * w_avg)
             user_err = alpha * E * (g2[:, None] * ev_row - reg * u_row)
 
-            # negatives: field-1 events vs w_avg and vs user
-            negs = neg_t.negative_field_sample(
-                k3, jnp.full((batch, negatives, 2), nf, dtype=jnp.int32)
-            )
-            nv = wv.at[negs].get(mode="promise_in_bounds")  # (B,K,2,D)
-            gn1 = -jax.nn.sigmoid(jnp.einsum("bkd,bd->bk", nv[:, :, 0], w_avg))
-            gn2 = -jax.nn.sigmoid(jnp.einsum("bkd,bd->bk", nv[:, :, 1], u_row))
-            d_n1 = alpha * E * (
-                gn1[..., None] * w_avg[:, None] - reg * nv[:, :, 0]
-            )
-            d_n2 = alpha * E * (
-                gn2[..., None] * u_row[:, None] - reg * nv[:, :, 1]
-            )
-            back_err = back_err + alpha * E * jnp.einsum(
-                "bk,bkd->bd", gn1, nv[:, :, 0]
-            )
-            user_err = user_err + alpha * E * jnp.einsum(
-                "bk,bkd->bd", gn2, nv[:, :, 1]
-            )
-
             from smore_tpu.ops.update import scatter_apply
 
             B = batch
             K = negatives
             D = w_avg.shape[1]
-            wv = scatter_apply(
-                wv,
-                [
-                    (last_ev, d_ev),
-                    (user, user_err),
-                    (negs[:, :, 0].reshape(-1), d_n1.reshape(B * K, D)),
-                    (negs[:, :, 1].reshape(-1), d_n2.reshape(B * K, D)),
-                ],
-                collision,
-            )
+            if Kp:
+                # ONE shared pool of field-1 events scored against both
+                # anchors on the MXU (sigmoid gradient is additive in
+                # negatives -> exactly expectation-preserving at
+                # k_equiv/Kp scale)
+                scale = K / Kp
+                pool = neg_t.negative_field_sample(
+                    k3, jnp.full((Kp,), nf, dtype=jnp.int32)
+                )
+                nvp = wv.at[pool].get(mode="promise_in_bounds")  # (Kp,D)
+                gn1 = -jax.nn.sigmoid(w_avg @ nvp.T) * scale  # (B,Kp)
+                gn2 = -jax.nn.sigmoid(u_row @ nvp.T) * scale
+                back_err = back_err + alpha * E * (gn1 @ nvp)
+                user_err = user_err + alpha * E * (gn2 @ nvp)
+                d_pool = alpha * E * (
+                    gn1.T @ w_avg + gn2.T @ u_row
+                    - reg * 2 * B * scale * nvp
+                )
+                wv = scatter_apply(
+                    wv,
+                    [(last_ev, d_ev), (user, user_err), (pool, d_pool)],
+                    collision,
+                )
+            else:
+                # negatives: field-1 events vs w_avg and vs user
+                negs = neg_t.negative_field_sample(
+                    k3, jnp.full((batch, negatives, 2), nf,
+                                 dtype=jnp.int32)
+                )
+                nv = wv.at[negs].get(mode="promise_in_bounds")
+                gn1 = -jax.nn.sigmoid(
+                    jnp.einsum("bkd,bd->bk", nv[:, :, 0], w_avg))
+                gn2 = -jax.nn.sigmoid(
+                    jnp.einsum("bkd,bd->bk", nv[:, :, 1], u_row))
+                d_n1 = alpha * E * (
+                    gn1[..., None] * w_avg[:, None] - reg * nv[:, :, 0]
+                )
+                d_n2 = alpha * E * (
+                    gn2[..., None] * u_row[:, None] - reg * nv[:, :, 1]
+                )
+                back_err = back_err + alpha * E * jnp.einsum(
+                    "bk,bkd->bd", gn1, nv[:, :, 0]
+                )
+                user_err = user_err + alpha * E * jnp.einsum(
+                    "bk,bkd->bd", gn2, nv[:, :, 1]
+                )
+                wv = scatter_apply(
+                    wv,
+                    [
+                        (last_ev, d_ev),
+                        (user, user_err),
+                        (negs[:, :, 0].reshape(-1),
+                         d_n1.reshape(B * K, D)),
+                        (negs[:, :, 1].reshape(-1),
+                         d_n2.reshape(B * K, D)),
+                    ],
+                    collision,
+                )
             S = bags.shape[1]
             wc = scatter_apply(
                 wc,
@@ -311,6 +364,9 @@ class TEXTGCNdev(GCN):
         batch: int = 2048,
         steps_per_call: int = 64,
         collision: str = "sum",
+        shared_negatives: int = 128,  # Kp-row shared event pool scored
+        # against both anchors on the MXU (exactly expectation-
+        # preserving: additive sigmoid gradient); 0 = per-sample
         verbose: bool = True,
     ) -> None:
         self.num_events = num_events
@@ -326,8 +382,11 @@ class TEXTGCNdev(GCN):
             # word bag bigger than the graph: within-sample collisions are
             # unavoidable, "sum" oscillates and diverges even at batch=1
             collision = "mean"
+        if shared_negatives:
+            shared_negatives = min(shared_negatives, batch)
         driver = TrainDriver(
-            self._make_step(batch, negative_samples, collision),
+            self._make_step(batch, negative_samples, collision,
+                            shared_negatives),
             ctx=self._make_ctx(),
             samples_per_step=batch,
             alpha=alpha,

@@ -165,7 +165,16 @@ class WalkSGNSBase(PairModelBase):
                 # are untouched (0.9966 parity stands).
                 if getattr(self, "inner_passes", 0) in (0, 1):
                     self.inner_passes = 4
-                    alpha = alpha * 2.0
+                    # x3 step mass across the passes: truncated budgets
+                    # sit at the convergence KNEE, where sequential
+                    # per-sample updates compound faster per unit mass
+                    # than batched ones -- measured (round 5, node2vec
+                    # wt=2 vs its oracle): x2 reads 0.823 vs oracle
+                    # 0.969, x3 closes it while deepwalk/walklets
+                    # trunc parity holds (walk_parity trunc:
+                    # ours >= ref at x3; explicit alpha sweeps bracket
+                    # the knee -- 0.50 at half mass, 1.00 at double).
+                    alpha = alpha * 3.0
             batch_walks = bw2
             # Epoch-exact start coverage (the reference's per-epoch
             # shuffle): one hoisted block = one epoch. Under iid starts

@@ -437,3 +437,183 @@ def field_community_step(
 # context row projected by the vertex's field, field-matched negatives --
 # which is precisely field_community_step's non-ms branch.
 fields_community_step = field_community_step
+
+
+# ===================================================================== #
+# Shared-pool variants (round 5): the MXU lever that took the rec
+# family to 14-20x. The community kernels' per-sample cost is row-op
+# bound -- CBOW touches 2S + K*S rows per sample (70 at the defaults),
+# DChoice 3 + K -- so replacing per-sample negatives with one Kp-row
+# pool scored against the whole batch on the MXU removes the dominant
+# K-term. For the SIGMOID kernels (cbow) the transform is exactly
+# expectation-preserving (the gradient is additive in negative sets,
+# scaled k_equiv/Kp -- same argument as LINE's shared pool); for the
+# SOFTMAX kernels (dchoice/hop_choice) the partition sum z becomes a
+# Kp-draw estimate scaled k_equiv/Kp -- a lower-variance estimator of
+# the same expectation target, a documented deviation quality-gated on
+# the zoo harness (AUC/recall parity at matched budgets).
+# ===================================================================== #
+def cbow_step_shared_negs(
+    w: jnp.ndarray,  # (N, D)
+    vctx: jnp.ndarray,  # (B, S)
+    cctx: jnp.ndarray,  # (B, S)
+    neg_pool: jnp.ndarray,  # (Kp, S) shared random field-matched sets
+    alpha: jnp.ndarray,
+    k_equiv: int = 5,
+    reg: float = 0.01,
+    mask: Optional[jnp.ndarray] = None,  # (B,)
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cbow_step with ONE pool of Kp negative sets shared across the
+    batch. Per-sample gradient in cbow_step is a SUM over its K
+    negative sets, so scoring the pool with weight k_equiv/Kp
+    preserves the per-sample expected update exactly."""
+    B, S = vctx.shape
+    Kp = neg_pool.shape[0]
+    scale = k_equiv / Kp
+    m1 = 1.0 if mask is None else mask[:, None]
+
+    wa = jnp.sum(w.at[vctx].get(mode="promise_in_bounds"), axis=1)
+    ca = jnp.sum(w.at[cctx].get(mode="promise_in_bounds"), axis=1)
+    na = jnp.sum(
+        w.at[neg_pool].get(mode="promise_in_bounds"), axis=1
+    )  # (Kp, D)
+
+    f_pos = jnp.einsum("bd,bd->b", wa, ca)
+    g_pos = 1.0 - jax.nn.sigmoid(f_pos)
+    f_neg = wa @ na.T  # (B, Kp) on the MXU
+    g_neg = -jax.nn.sigmoid(f_neg) * scale
+    if mask is not None:
+        g_pos = g_pos * mask
+        g_neg = g_neg * mask[:, None]
+
+    d_w = alpha * (
+        g_pos[:, None] * ca + g_neg @ na - reg * (1 + k_equiv) * wa * m1
+    )
+    d_c = alpha * (g_pos[:, None] * wa - reg * ca * m1)
+    # pool-side: per (sample, set) instance alpha*(g*wa - reg*na),
+    # accumulated over the batch at the pool scale
+    n_inst = (jnp.float32(B) if mask is None else mask.sum()) * scale
+    d_n = alpha * (g_neg.T @ wa - reg * n_inst * na)  # (Kp, D)
+
+    rep = lambda x, s: jnp.broadcast_to(x[:, None, :], (x.shape[0], s, x.shape[-1]))
+    mask_s = None if mask is None else jnp.repeat(mask, S)
+    w = scatter_apply(
+        w,
+        [
+            (vctx.reshape(-1), rep(d_w, S).reshape(B * S, -1), mask_s),
+            (cctx.reshape(-1), rep(d_c, S).reshape(B * S, -1), mask_s),
+            (neg_pool.reshape(-1), rep(d_n, S).reshape(Kp * S, -1), None),
+        ],
+        collision,
+    )
+    eps = 1e-7
+    loss = -jnp.log(jax.nn.sigmoid(f_pos) + eps).mean() - (
+        k_equiv / Kp
+    ) * jnp.log(1 - jax.nn.sigmoid(f_neg) + eps).sum(-1).mean()
+    return w, loss
+
+
+def dchoice_step_shared_negs(
+    w: jnp.ndarray,
+    vertex: jnp.ndarray,  # (B,)
+    c1: jnp.ndarray,  # (B,)
+    c2: jnp.ndarray,  # (B,)
+    neg_pool: jnp.ndarray,  # (Kp,) shared negatives
+    alpha: jnp.ndarray,
+    k_equiv: int = 5,
+    reg: float = 0.01,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """dchoice_step with a shared negative pool: z's negative mass is
+    the pool sum scaled k_equiv/Kp (sampled-softmax estimator)."""
+    Kp = neg_pool.shape[0]
+    scale = k_equiv / Kp
+    v = w.at[vertex].get(mode="promise_in_bounds")
+    w1 = w.at[c1].get(mode="promise_in_bounds")
+    w2 = w.at[c2].get(mode="promise_in_bounds")
+    wn = w.at[neg_pool].get(mode="promise_in_bounds")  # (Kp, D)
+
+    e1 = jnp.exp(jnp.einsum("bd,bd->b", v, w1))
+    e2 = jnp.exp(jnp.einsum("bd,bd->b", v, w2))
+    en = jnp.exp(v @ wn.T)  # (B, Kp)
+    z_pos = 2.0 * e1 + e2
+    z = e1 + e2 + scale * en.sum(-1)
+
+    dev = (
+        w1 * e1[:, None]
+        + w2 * e2[:, None]
+        + scale * (en @ wn)
+    )
+    d_v = alpha * (
+        (2.0 * w1 * e1[:, None] + w2 * e2[:, None]) / z_pos[:, None]
+        - dev / z[:, None]
+        - reg * v
+    )
+    d_c1 = alpha * (
+        (2.0 * v * e1[:, None]) / z_pos[:, None]
+        - (v * e1[:, None]) / z[:, None]
+        - reg * w1
+    )
+    d_c2 = alpha * (
+        (v * e2[:, None]) / z_pos[:, None]
+        - (v * e2[:, None]) / z[:, None]
+        - reg * w2
+    )
+    B = v.shape[0]
+    wz = en / z[:, None]  # (B, Kp)
+    d_n = -alpha * scale * (wz.T @ v + reg * B * wn)
+
+    w = scatter_apply(
+        w,
+        [(vertex, d_v), (c1, d_c1), (c2, d_c2), (neg_pool, d_n)],
+        collision,
+    )
+    loss = -jnp.log(jnp.clip(z_pos / (2.0 * z), 1e-9, None)).mean()
+    return w, loss
+
+
+def choice_softmax_step_shared_negs(
+    w: jnp.ndarray,
+    vertex: jnp.ndarray,  # (B,)
+    pos: jnp.ndarray,  # (B,)
+    neg_pool: jnp.ndarray,  # (Kp,) shared negatives
+    alpha: jnp.ndarray,
+    k_equiv: int = 5,
+    reg: float = 0.01,
+    mask: Optional[jnp.ndarray] = None,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """choice_softmax_step (UpdateHOPChoice) with a shared pool."""
+    Kp = neg_pool.shape[0]
+    scale = k_equiv / Kp
+    u = w.at[vertex].get(mode="promise_in_bounds")
+    c = w.at[pos].get(mode="promise_in_bounds")
+    n = w.at[neg_pool].get(mode="promise_in_bounds")  # (Kp, D)
+
+    e_pos = jnp.exp(jnp.einsum("bd,bd->b", u, c))
+    e_neg = jnp.exp(u @ n.T)  # (B, Kp)
+    z = e_pos + scale * e_neg.sum(-1)
+
+    dev = c * e_pos[:, None] + scale * (e_neg @ n)
+    m1 = 1.0 if mask is None else mask[:, None]
+    d_u = alpha * (c - dev / z[:, None] - reg * u) * m1
+    d_c = alpha * (u - u * (e_pos / z)[:, None] - reg * c) * m1
+    B = u.shape[0]
+    wz = e_neg / z[:, None]
+    if mask is not None:
+        wz = wz * mask[:, None]
+    n_inst = (jnp.float32(B) if mask is None else mask.sum())
+    d_n = -alpha * scale * (wz.T @ u + reg * n_inst * n)
+
+    w = scatter_apply(
+        w,
+        [(vertex, d_u, mask), (pos, d_c, mask), (neg_pool, d_n)],
+        collision,
+    )
+    ce = -jnp.log(jnp.clip(e_pos / z, 1e-9, None))
+    if mask is None:
+        loss = ce.mean()
+    else:
+        loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    return w, loss
