@@ -22,7 +22,10 @@ import numpy as np
 
 from smore_tpu.io.embeddings import save_embeddings
 from smore_tpu.models.base import clamp_batch, PairModelBase, TrainDriver, init_embedding
-from smore_tpu.ops.community import field_community_step
+from smore_tpu.ops.community import (
+    field_community_step,
+    field_community_step_shared_negs,
+)
 from smore_tpu.sampling.fields import FieldTables
 from smore_tpu.sampling.walks import random_walk
 
@@ -54,10 +57,12 @@ class FINE(PairModelBase):
         neg_t = FieldTables.build(g)  # degree^0.75 mass, field-bucketed
         return (self.build_sampler(), neg_t)
 
-    def _make_step(self, batch, negatives, collision):
+    def _make_step(self, batch, negatives, collision,
+                   shared_negatives=0):
         S = self.walk_steps + 1  # positions: v2 + walk_steps extensions
         nf = max(1, self.graph.n_fields)
         ms = self.ms_variant
+        Kp = shared_negatives
 
         def step(state, ctx, key, alpha):
             tables, neg_t = ctx
@@ -83,6 +88,25 @@ class FINE(PairModelBase):
                 axis=1,
             )
             c_fid = neg_t.field_of_v(walk)  # (B, S)
+            if Kp:
+                # ONE Kp-row pool per field (exact per-field law; the
+                # sigmoid gradient is additive in negatives, so the
+                # k_equiv/Kp pool scale preserves the per-sample
+                # expected update exactly)
+                pool = neg_t.negative_field_sample(
+                    k4,
+                    jnp.broadcast_to(
+                        jnp.arange(nf, dtype=jnp.int32)[:, None],
+                        (nf, Kp),
+                    ),
+                )
+                wv, wc, loss = field_community_step_shared_negs(
+                    state["vertex"], state["context"], v1, walk, alive,
+                    pool, neg_t.field_of, nf, alpha,
+                    k_equiv=negatives, ms_variant=ms,
+                    collision=collision,
+                )
+                return {"vertex": wv, "context": wc}, loss
             negs = neg_t.negative_field_sample(
                 k4,
                 jnp.broadcast_to(c_fid[:, :, None], (batch, S, negatives)),
@@ -105,12 +129,18 @@ class FINE(PairModelBase):
         batch: int = 2048,
         steps_per_call: int = 64,
         collision: str = "sum",
+        shared_negatives: int = 128,  # Kp-row per-FIELD shared pools
+        # (field_community_step_shared_negs; 0 = per-sample reference
+        # negatives). Exactly expectation-preserving; zoo-gated.
         verbose: bool = True,
     ) -> None:
         self.walk_steps = walk_steps
         batch = clamp_batch(self.graph.n_vertices, batch)
+        if shared_negatives:
+            shared_negatives = min(shared_negatives, batch)
         driver = TrainDriver(
-            self._make_step(batch, negative_samples, collision),
+            self._make_step(batch, negative_samples, collision,
+                            shared_negatives),
             ctx=self._make_ctx(),
             samples_per_step=batch,
             alpha=alpha,

@@ -617,3 +617,113 @@ def choice_softmax_step_shared_negs(
     else:
         loss = (ce * mask).sum() / jnp.maximum(mask.sum(), 1.0)
     return w, loss
+
+
+def field_community_step_shared_negs(
+    w_vertex: jnp.ndarray,  # (N * F, D) shadow vertex table
+    w_context: jnp.ndarray,  # (N * F, D) shadow context table
+    vertex: jnp.ndarray,  # (B,) plain vids
+    ctx_walk: jnp.ndarray,  # (B, S) plain context walk
+    walk_mask: jnp.ndarray,  # (B, S)
+    neg_pool: jnp.ndarray,  # (F, Kp) plain negative vids, pool f drawn
+    # from field f's negative law (the field-matched rejection loop,
+    # proNet.cpp:3209-3212, as one pool per field)
+    fields_of: jnp.ndarray,  # (N,)
+    n_fields: int,
+    alpha: jnp.ndarray,
+    k_equiv: int = 5,
+    reg: float = 0.0,
+    ms_variant: bool = False,
+    collision: str = "sum",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """field_community_step with per-field shared negative pools.
+
+    Each (sample, walk position) scores field c_fid's pool, projected
+    by the vertex's field (non-ms) or the negative's own field (ms) --
+    so the pool lives as (F_draw, F_proj, Kp) projected shadow rows,
+    gathered ONCE per step instead of B*S*K per-sample rows (the
+    dominant row-op term: 70% of the kernel's rows at K=5). The
+    sigmoid gradient is additive in negatives, so k_equiv/Kp scaling
+    preserves the per-sample expected update exactly; selection is by
+    one-hot field masks on the MXU, not gathers."""
+    B, S = ctx_walk.shape
+    F, Kp = neg_pool.shape
+    scale = k_equiv / Kp
+    v_fid = fields_of.at[vertex].get(mode="promise_in_bounds")  # (B,)
+    c_fid = fields_of.at[ctx_walk].get(mode="promise_in_bounds")  # (B,S)
+
+    v_rows = field_project(vertex[:, None], c_fid, n_fields)
+    if ms_variant:
+        reg = 0.025  # msFINE override, as in field_community_step
+        c_rows = field_project(ctx_walk, c_fid, n_fields)
+        # ms: negatives project by their OWN field == their pool's
+        # draw field -> only the diagonal (f, f) pool blocks are used
+        pool_rows = field_project(
+            neg_pool[:, None, :],
+            jnp.arange(F, dtype=jnp.int32)[:, None, None], n_fields,
+        )  # (F, 1, Kp) -> proj == draw
+        pool_rows = jnp.broadcast_to(pool_rows, (F, F, Kp))
+    else:
+        c_rows = field_project(ctx_walk, v_fid[:, None], n_fields)
+        # non-ms: pool f projected by every possible vertex field g
+        pool_rows = field_project(
+            neg_pool[:, None, :],
+            jnp.arange(F, dtype=jnp.int32)[None, :, None], n_fields,
+        )  # (F_draw, F_proj, Kp)
+
+    v = w_vertex.at[v_rows].get(mode="promise_in_bounds")  # (B,S,D)
+    c = w_context.at[c_rows].get(mode="promise_in_bounds")  # (B,S,D)
+    npool = w_context.at[pool_rows].get(
+        mode="promise_in_bounds"
+    )  # (F,F,Kp,D)
+
+    g_pos = (1.0 - jax.nn.sigmoid(jnp.einsum("bsd,bsd->bs", v, c)))
+    g_pos = g_pos * walk_mask
+
+    # one-hot field selection: sample (b,s) uses draw field c_fid[b,s]
+    # and projection field v_fid[b] (ms: projection == draw)
+    oh_c = jax.nn.one_hot(c_fid, F, dtype=v.dtype)  # (B,S,F)
+    oh_v = jax.nn.one_hot(
+        c_fid if ms_variant else
+        jnp.broadcast_to(v_fid[:, None], (B, S)), F, dtype=v.dtype
+    )  # (B,S,F)
+    sel = jnp.einsum("bsf,bsg->bsfg", oh_c, oh_v)  # (B,S,F,F)
+
+    f_neg = jnp.einsum("bsd,fgkd->bsfgk", v, npool)
+    g_neg = -jax.nn.sigmoid(f_neg) * (
+        sel[..., None] * walk_mask[:, :, None, None, None]
+    ) * scale  # (B,S,F,F,Kp)
+
+    m2 = walk_mask[..., None]
+    d_v = alpha * (
+        g_pos[..., None] * c
+        + jnp.einsum("bsfgk,fgkd->bsd", g_neg, npool)
+        - reg * (1 + k_equiv) * v * m2
+    )
+    d_c = alpha * (g_pos[..., None] * v - reg * c * m2)
+    # exact per-pool instance counts: (b,s) regularizes only ITS
+    # (draw, projection) pool block, at the k_equiv/Kp pool scale
+    inst = jnp.einsum("bsfg,bs->fg", sel, walk_mask) * scale  # (F,F)
+    d_n = alpha * (
+        jnp.einsum("bsfgk,bsd->fgkd", g_neg, v)
+        - reg * inst[:, :, None, None] * npool
+    )
+
+    D = d_v.shape[-1]
+    mask_s = walk_mask.reshape(-1)
+    w_context = scatter_apply(
+        w_context,
+        [
+            (c_rows.reshape(-1), d_c.reshape(B * S, D), mask_s),
+            (pool_rows.reshape(-1), d_n.reshape(F * F * Kp, D)),
+        ],
+        collision,
+    )
+    w_vertex = scatter_apply(
+        w_vertex, [(v_rows.reshape(-1), d_v.reshape(B * S, D), mask_s)],
+        collision,
+    )
+    denom = jnp.maximum(walk_mask.sum(), 1.0)
+    loss = jnp.sum(-jnp.log(jax.nn.sigmoid(
+        jnp.einsum("bsd,bsd->bs", v, c)) + 1e-7) * walk_mask) / denom
+    return w_vertex, w_context, loss

@@ -120,3 +120,38 @@ def test_gcn_shared_pool_learns_structure():
             shared_negatives=16, steps_per_call=16, verbose=False)
     wv = np.asarray(m.state["vertex"])
     assert np.isfinite(wv).all()
+
+
+def test_field_community_shared_equals_per_sample_at_b1():
+    """B=1, S=1, Kp=K, every field's pool = the sample's drawn negs:
+    the per-field pool transform reduces to the per-sample kernel
+    exactly (only the (c_fid, v_fid) block selects; scale == 1)."""
+    from smore_tpu.ops.community import (
+        field_community_step,
+        field_community_step_shared_negs,
+    )
+
+    F, N, D, K = 2, 20, 16, 4
+    wv = _w(N * F, D, seed=7)
+    wc = _w(N * F, D, seed=8)
+    fields_of = jnp.asarray([i % F for i in range(N)], jnp.int32)
+    vertex = jnp.asarray([3])
+    walk = jnp.asarray([[6]])
+    mask = jnp.ones((1, 1), jnp.float32)
+    negs = jnp.asarray([[[2, 8, 10, 4]]])  # (1,1,K)
+    alpha = jnp.float32(0.05)
+    for ms in (False, True):
+        v1, c1_, l1 = field_community_step(
+            wv, wc, vertex, walk, mask, negs, fields_of, F, alpha,
+            reg=0.01, ms_variant=ms,
+        )
+        pool = jnp.broadcast_to(negs[0], (F, K))  # same vids every field
+        v2, c2_, l2 = field_community_step_shared_negs(
+            wv, wc, vertex, walk, mask, pool, fields_of, F, alpha,
+            k_equiv=K, reg=0.01, ms_variant=ms,
+        )
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-5, atol=1e-7, err_msg=f"ms={ms}")
+        np.testing.assert_allclose(np.asarray(c1_), np.asarray(c2_),
+                                   rtol=1e-5, atol=1e-7, err_msg=f"ms={ms}")
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
