@@ -177,6 +177,10 @@ class ECO(PairModelBase):
         batch = clamp_batch(self.graph.n_vertices, batch)
         if self.head == "recall_rank":
             shared_negatives = 0
+        if shared_negatives and self.graph.n_vertices < 4 * shared_negatives:
+            # tiny-graph guard (see GCN.train): pool concentration
+            # overshoots on toy nets; per-sample negatives there
+            shared_negatives = 0
         driver = TrainDriver(
             self._make_step(batch, negative_samples, collision,
                             shared_negatives),

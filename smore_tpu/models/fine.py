@@ -136,6 +136,10 @@ class FINE(PairModelBase):
     ) -> None:
         self.walk_steps = walk_steps
         batch = clamp_batch(self.graph.n_vertices, batch)
+        if shared_negatives and self.graph.n_vertices < 4 * shared_negatives:
+            # tiny-graph guard (see GCN.train): pool concentration
+            # overshoots on toy nets; per-sample negatives there
+            shared_negatives = 0
         if shared_negatives:
             shared_negatives = min(shared_negatives, batch)
         driver = TrainDriver(

@@ -156,6 +156,14 @@ class GCN(PairModelBase):
             # graph smaller than one sample's neighbor bag: collisions are
             # unavoidable even at batch=1, "sum" oscillates and diverges
             collision = "mean"
+        if shared_negatives and self.graph.n_vertices < 4 * shared_negatives:
+            # tiny-graph guard: a pool drawn (with replacement) from a
+            # vertex set not much larger than itself concentrates the
+            # whole batch's negative mass on a few rows per step --
+            # sum-collision overshoot (NaN on the toy nets). Fall back
+            # to per-sample negatives there; production graphs are
+            # unaffected.
+            shared_negatives = 0
         if shared_negatives:
             shared_negatives = min(shared_negatives, batch)
         driver = TrainDriver(
@@ -382,6 +390,14 @@ class TEXTGCNdev(GCN):
             # word bag bigger than the graph: within-sample collisions are
             # unavoidable, "sum" oscillates and diverges even at batch=1
             collision = "mean"
+        if shared_negatives and self.graph.n_vertices < 4 * shared_negatives:
+            # tiny-graph guard: a pool drawn (with replacement) from a
+            # vertex set not much larger than itself concentrates the
+            # whole batch's negative mass on a few rows per step --
+            # sum-collision overshoot (NaN on the toy nets). Fall back
+            # to per-sample negatives there; production graphs are
+            # unaffected.
+            shared_negatives = 0
         if shared_negatives:
             shared_negatives = min(shared_negatives, batch)
         driver = TrainDriver(

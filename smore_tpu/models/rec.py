@@ -256,10 +256,13 @@ class SkewOPT(_SharedTableRec):
     """Skew-OPT (UAI'20) via UpdateSBPRPair (proNet.cpp:1517-1566;
     16 negatives, (xi, omega, eta) skewed logistic)."""
 
-    # shared-pool expectation rounds cost recall@10 (0.9106 vs the
-    # reference's 0.9231 on the bpr_parity harness); the per-sample
-    # reference form matches (0.925 vs 0.926) -- quality wins here
-    default_shared_negatives = 0
+    # Round-3 demoted the shared pool on a recall deficit (0.9106 vs
+    # 0.9231) that round 4 root-caused to UNDIRECTED loading (the
+    # reference CLIs hardcode directed, cli/skewopt.cpp:69). Re-tested
+    # DIRECTED at 3 seeds/side (experiments/rec_repromote.py, round 5):
+    # r@10 0.9223 +- 0.0007 vs ref 0.9226 +- 0.0001 at ~5 M/s (vs 2.6
+    # per-sample) -- the pool is back as the default.
+    default_shared_negatives = 256
 
     def __init__(self, graph, seed: int = 0, xi: float = 10.0,
                  omega: float = 3.0, eta: int = 3, rounds: int = 16):
