@@ -33,17 +33,24 @@ sys.path.insert(0, "/root/repo/experiments")
 from bench import YT_GRAPH_PATH, make_youtube_graph, yt_community_auc  # noqa: E402
 
 
-def run(mesh, tag, budget_m=2.0):
+def run(mesh, tag, budget_m=0.066):
     from smore_tpu.graph.graph import Graph
     from smore_tpu.models.line import LINE
 
     g = Graph.load_edge_list(YT_GRAPH_PATH, undirected=True)
     m = LINE(g, seed=0)
     m.init(dim=64, order=2)
+    # interpret-mode Pallas on CPU pays per-op interpreter cost on the
+    # serial row loops, so the budget is small: the measurement shows
+    # the production path EXECUTES under the mesh at YT scale and
+    # bounds the per-call merge overhead, not absolute rates.
+    # edge_stream OFF: a replicated ~0.9 GB stream materializes one
+    # copy PER virtual device under the mesh -- host OOM at 8 devices;
+    # the hoisted-draw path measures the same kernel.
     kw = dict(negative_samples=5, alpha=0.025, banded=True,
               multiband=True, batch=2048, hoist=4, band_size=16400,
-              edge_stream=True, steps_per_call=16, verbose=False)
-    m.train(sample_times=0.2, mesh=mesh, **kw)  # warm/compile
+              edge_stream=False, steps_per_call=2, verbose=False)
+    m.train(sample_times=0.017, mesh=mesh, **kw)  # warm/compile
     float(m.state["vertex"][0, 0])
     t0 = time.time()
     m.train(sample_times=budget_m, mesh=mesh, **kw)
@@ -69,7 +76,7 @@ def main():
           f"host cores, so this measures merge/compile overhead, not "
           f"8 real chips)", flush=True)
     auc = yt_community_auc(np.asarray(m8.state["vertex"]), m8.graph.names)
-    print(f"hogwild 8-dev community-AUC @2.2M samples: {auc:.4f} "
+    print(f"hogwild 8-dev community-AUC @~0.5M samples: {auc:.4f} "
           f"(early-budget sanity, not the 40M gate)", flush=True)
 
 
