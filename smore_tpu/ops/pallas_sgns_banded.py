@@ -960,7 +960,12 @@ def sgns_banded_multiblock(
     Ks = cn.shape[1]
     TB = min(1024, B)  # two tiles per micro-step so the SYNC point
     # (tile 1) lands mid-step: the wb(s-1) wait and fetch(s+1) issue
-    # overlap tile 0's compute on the "db" pipeline
+    # overlap tile 0's compute on the "db" pipeline. Measured (round
+    # 5): TB=2048 (one tile, no overlap window) reads 32.4-32.9 vs
+    # 37-38 M/s. TB=512 does NOT compile: the per-tile parity reshape
+    # (tr, 128) -> (TB,) only lowers for tr in {1, 8} in this Mosaic
+    # (same gap as the Ks=256 negv reshape, fixed there by a float
+    # mask) -- so TB is pinned at 1024 (tr=8) / B when B < 1024.
     assert B % TB == 0 and TB % _U == 0, (B, TB)
     assert B % 128 == 0, B  # parity inputs ship as (S, B//128, 128)
     # folded slab height band_size/2 must be sublane-aligned (multiple
