@@ -277,3 +277,54 @@ def test_cli_checkpoint_flag(tmp_path):
     assert checkpoint_exists(ckpt)
     header = open(out).readline().split()
     assert len(header) == 2 and header[1] == "8"
+
+
+def test_hogwild_mesh_kill_resume_is_step_identical(tmp_path):
+    """Round 5: checkpoint/resume under the hogwild mesh mode. The
+    checkpoint carries the (n_dev, 2) per-device key ARRAY; resume must
+    continue every device's stream where it left off -- kill-at-50%
+    equals the uninterrupted mesh run exactly."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    from smore_tpu.parallel.mesh import make_mesh
+
+    net = _toy_graph(tmp_path, n=256, seed=3)
+    mesh = make_mesh(min(8, len(jax.devices())))
+    kw = dict(sample_times=0.02, negative_samples=2, alpha=0.02,
+              batch=128, steps_per_call=8, shared_negatives=16,
+              banded=True, multiband=True, band_size=64,
+              edge_stream=True, hoist=2, mesh=mesh, verbose=False)
+
+    m_ref = _make_model(net)
+    m_ref.init(dim=64, order=2)
+    m_ref.train(**kw)
+    ref_v = np.asarray(m_ref.state["vertex"])
+
+    ckpt = str(tmp_path / "hog_ckpt")
+    m_a = _make_model(net)
+    m_a.init(dim=64, order=2)
+    m_a.set_checkpoint(ckpt, every=1)
+
+    from smore_tpu.models.base import TrainDriver
+
+    orig_save = TrainDriver._save_ckpt
+    calls = {"n": 0}
+
+    def killing_save(self, state, key, done):
+        orig_save(self, state, key, done)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt("simulated preemption")
+
+    TrainDriver._save_ckpt = killing_save
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            m_a.train(**kw)
+    finally:
+        TrainDriver._save_ckpt = orig_save
+
+    m_b = _make_model(net)
+    m_b.init(dim=64, order=2)
+    m_b.set_checkpoint(ckpt, every=1)
+    m_b.train(**kw)
+    np.testing.assert_array_equal(np.asarray(m_b.state["vertex"]), ref_v)
