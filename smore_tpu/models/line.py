@@ -510,8 +510,14 @@ class LINE(PairModelBase):
                 # batch IS the per-stratum visit; 2048 at band 16400 is
                 # the proven exact-parity concentration
                 batch = clamp_batch(n, 2048, group=group)
-            if use_multi and batch % 128:
-                use_multi = False  # parity inputs ship (S, B//128, 128)
+            if use_multi:
+                # parity inputs ship (S, B//128, 128) and the per-tile
+                # parity slice reshapes (tr, 128) -> (TB,), which this
+                # Mosaic only lowers for tr in {1, 8} (TB = min(1024,
+                # batch)): batch must be 128 or a multiple of 1024
+                tb = min(1024, batch)
+                if batch % 128 or batch % tb or (tb // 128) not in (1, 8):
+                    use_multi = False
             # FUSED kernel (ops/pallas_sgns_banded.py): gather + SGNS
             # math + scatter in one VMEM-resident pass -- the fast path
             # for the ungrouped 2D config when multiband is off.
