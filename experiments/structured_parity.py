@@ -131,7 +131,12 @@ def app_probe(vert_file, ctx_file, n_pairs=20000, seed=3):
 
 def run_app():
     make_app_dataset()
-    wt, st, jump, negs = 10, 10, 0.15, 5
+    # the reference CLI's OWN defaults (cli/app.cpp: walk_times=100,
+    # sample_times=20 -> 40M endpoint pairs): below ~10M pairs BOTH
+    # implementations sit under the SGNS bootstrap transition on this
+    # graph (measured round 5: the reference's tables stay at init
+    # scale and read chance) -- a comparison there is meaningless
+    wt, st, jump, negs = 100, 20, 0.15, 5
 
     # ours
     from smore_tpu.graph.graph import Graph

@@ -165,16 +165,20 @@ class WalkSGNSBase(PairModelBase):
                 # are untouched (0.9966 parity stands).
                 if getattr(self, "inner_passes", 0) in (0, 1):
                     self.inner_passes = 4
-                    # x3 step mass across the passes: truncated budgets
+                    # Step mass across the passes: truncated budgets
                     # sit at the convergence KNEE, where sequential
                     # per-sample updates compound faster per unit mass
                     # than batched ones -- measured (round 5, node2vec
                     # wt=2 vs its oracle): x2 reads 0.823 vs oracle
-                    # 0.969, x3 closes it while deepwalk/walklets
-                    # trunc parity holds (walk_parity trunc:
-                    # ours >= ref at x3; explicit alpha sweeps bracket
-                    # the knee -- 0.50 at half mass, 1.00 at double).
-                    alpha = alpha * 3.0
+                    # 0.969, x3 closes it (0.997) and lifts deepwalk/
+                    # walklets trunc to 0.975/0.976 vs ref 0.941/0.940.
+                    # BATCH-AWARE: x3 is calibrated where the rebatched
+                    # step is tiny (8-26 rows); at larger rebatched
+                    # steps (APP's 2M-walk budget rebatches to ~1300)
+                    # the same mass per stale snapshot COLLAPSES the
+                    # tables (all-vertex/-context anti-alignment,
+                    # measured round 5) -- those keep the round-3 x2.
+                    alpha = alpha * (3.0 if bw2 <= 64 else 2.0)
             batch_walks = bw2
             # Epoch-exact start coverage (the reference's per-epoch
             # shuffle): one hoisted block = one epoch. Under iid starts
