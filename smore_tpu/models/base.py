@@ -103,6 +103,25 @@ def freshness_policy(
     return new_batch, min(max(1, hoist) * grow, 64)
 
 
+def trunc_mass_multiplier(rebatched: int, tiny: int = 64) -> float:
+    """Step-mass multiplier for the inner-pass bootstrap at truncated
+    budgets (WalkSGNSBase._run).
+
+    Truncated budgets sit at the convergence KNEE, where the reference's
+    sequential per-sample updates (e.g. DeepWalk.cpp:133-148 applying
+    each pair against the freshest table) compound faster per unit step
+    mass than batched ones. Measured (round 5, node2vec walk_times=2 vs
+    its sequential oracle): x2 reads 0.823 vs oracle 0.969; x3 closes it
+    (0.997) and lifts deepwalk/walklets truncated parity to 0.975/0.976
+    vs ref 0.941/0.940. BATCH-AWARE: x3 is calibrated where the
+    rebatched step is tiny (8-26 rows); at larger rebatched steps (APP's
+    2M-walk budget rebatches to ~1300 rows) the same mass per stale
+    snapshot COLLAPSES the tables (all-vertex/all-context
+    anti-alignment, measured round 5) -- those keep the round-3 x2.
+    """
+    return 3.0 if rebatched <= tiny else 2.0
+
+
 def clamp_batch(n_rows: int, batch: int, group: int = 1) -> int:
     """Stability guard for collision="sum" batched updates.
 

@@ -22,6 +22,7 @@ from smore_tpu.models.base import (
     TrainDriver,
     freshness_policy,
     hoisted_scan_step,
+    trunc_mass_multiplier,
     init_embedding,
     zeros_embedding,
 )
@@ -165,20 +166,10 @@ class WalkSGNSBase(PairModelBase):
                 # are untouched (0.9966 parity stands).
                 if getattr(self, "inner_passes", 0) in (0, 1):
                     self.inner_passes = 4
-                    # Step mass across the passes: truncated budgets
-                    # sit at the convergence KNEE, where sequential
-                    # per-sample updates compound faster per unit mass
-                    # than batched ones -- measured (round 5, node2vec
-                    # wt=2 vs its oracle): x2 reads 0.823 vs oracle
-                    # 0.969, x3 closes it (0.997) and lifts deepwalk/
-                    # walklets trunc to 0.975/0.976 vs ref 0.941/0.940.
-                    # BATCH-AWARE: x3 is calibrated where the rebatched
-                    # step is tiny (8-26 rows); at larger rebatched
-                    # steps (APP's 2M-walk budget rebatches to ~1300)
-                    # the same mass per stale snapshot COLLAPSES the
-                    # tables (all-vertex/-context anti-alignment,
-                    # measured round 5) -- those keep the round-3 x2.
-                    alpha = alpha * (3.0 if bw2 <= 64 else 2.0)
+                    # Step mass across the passes: batch-aware x3/x2
+                    # (see base.trunc_mass_multiplier for the measured
+                    # calibration and the APP collapse it guards).
+                    alpha = alpha * trunc_mass_multiplier(bw2)
             batch_walks = bw2
             # Epoch-exact start coverage (the reference's per-epoch
             # shuffle): one hoisted block = one epoch. Under iid starts

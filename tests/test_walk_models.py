@@ -112,3 +112,16 @@ def test_truncated_budget_policy_engages(comm_graph=None):
     # tiny: floors hold
     b3, h3 = freshness_policy(100, 128, 1)
     assert b3 == 8 and h3 <= 64
+
+
+def test_trunc_mass_multiplier_batch_aware():
+    """x3 step mass only in the tiny-rebatch calibration regime; larger
+    rebatched steps (e.g. APP's ~1300-row rebatch, where x3 measured a
+    table collapse) keep the round-3 x2."""
+    from smore_tpu.models.base import trunc_mass_multiplier
+
+    assert trunc_mass_multiplier(8) == 3.0    # node2vec wt=2 regime
+    assert trunc_mass_multiplier(26) == 3.0   # deepwalk trunc regime
+    assert trunc_mass_multiplier(64) == 3.0   # boundary inclusive
+    assert trunc_mass_multiplier(65) == 2.0
+    assert trunc_mass_multiplier(1300) == 2.0  # APP rebatch regime
